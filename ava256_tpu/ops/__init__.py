@@ -1,0 +1,26 @@
+from ava256_tpu.ops.layers import (
+    LEAKY_GAIN,
+    Conv2dWN,
+    ConvTranspose2dWN,
+    LinearWN,
+    leaky_relu,
+)
+from ava256_tpu.ops.grid_sample import grid_sample_2d, resize_bilinear
+from ava256_tpu.ops.geomap import generate_geomap
+from ava256_tpu.ops.math3d import rodrigues, quaternion_to_matrix, normalize
+from ava256_tpu.ops.raydirs import compute_raydirs
+
+__all__ = [
+    "LEAKY_GAIN",
+    "Conv2dWN",
+    "ConvTranspose2dWN",
+    "LinearWN",
+    "leaky_relu",
+    "grid_sample_2d",
+    "resize_bilinear",
+    "generate_geomap",
+    "rodrigues",
+    "quaternion_to_matrix",
+    "normalize",
+    "compute_raydirs",
+]

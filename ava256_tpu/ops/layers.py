@@ -1,0 +1,239 @@
+"""Weight-normalized NN layers (Flax linen, NHWC, TPU-native).
+
+Re-implements the reference's layer library semantics (reference:
+models/utils.py:15-125,129-145,252-267,338-374):
+
+- Weight normalization: the effective weight is ``w * g[oc] / ||w||_F`` where
+  the norm is the Frobenius norm of the *entire* weight tensor and ``g`` is a
+  per-output-channel scale initialized to ``||w_init||_F`` (so the layer is an
+  identity reparameterization at init).
+- Initialization: Xavier-uniform with an explicit gain, where the fan-in
+  kernel size for transposed convs is divided by the stride
+  (reference: models/utils.py:15-66), and transposed convs get a blockwise
+  (parity-constant) kernel so that their output has no stride-2 checkerboard
+  at init (reference: models/utils.py:85-89).
+
+Everything is NHWC / HWIO — the layouts XLA maps best onto the TPU MXU.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# torch.nn.init.calculate_gain("leaky_relu", 0.2)
+LEAKY_GAIN = math.sqrt(2.0 / (1.0 + 0.2 * 0.2))
+
+
+def leaky_relu(x: jnp.ndarray, negative_slope: float = 0.2) -> jnp.ndarray:
+    return jnp.where(x >= 0, x, negative_slope * x)
+
+
+def _as_pair(v: Union[int, Tuple[int, int]]) -> Tuple[int, int]:
+    return (v, v) if isinstance(v, int) else tuple(v)
+
+
+def xavier_uniform_init(
+    gain: float, fan_in: int, fan_out: int, ksize: int
+) -> Callable[..., jnp.ndarray]:
+    """Uniform(-a, a) with a = gain * sqrt(2 / ((n1 + n2) * ksize)) * sqrt(3)."""
+    std = gain * math.sqrt(2.0 / ((fan_in + fan_out) * ksize))
+    a = std * math.sqrt(3.0)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, minval=-a, maxval=a)
+
+    return init
+
+
+def _wn_scale_init(weight: jnp.ndarray, features: int) -> Callable[..., jnp.ndarray]:
+    """g initialized to the Frobenius norm of the freshly sampled weight."""
+    def init(key, dtype=jnp.float32):
+        norm = jnp.sqrt(jnp.sum(jax.lax.stop_gradient(weight.astype(jnp.float32)) ** 2))
+        return (norm * jnp.ones((features,))).astype(dtype)
+
+    return init
+
+
+def _wn_effective(weight: jnp.ndarray, g: jnp.ndarray, channel_axis: int) -> jnp.ndarray:
+    wnorm = jnp.sqrt(jnp.sum(weight.astype(jnp.float32) ** 2))
+    shape = [1] * weight.ndim
+    shape[channel_axis] = -1
+    return weight * (g.reshape(shape) / wnorm).astype(weight.dtype)
+
+
+class LinearWN(nn.Module):
+    """Weight-normalized dense layer. Input [..., in] -> [..., features]."""
+
+    features: int
+    gain: float = 1.0
+    use_bias: bool = True
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_features = x.shape[-1]
+        w = self.param(
+            "weight",
+            xavier_uniform_init(self.gain, in_features, self.features, 1),
+            (in_features, self.features),
+        )
+        g = self.param("g", _wn_scale_init(w, self.features))
+        w_eff = _wn_effective(w, g, channel_axis=1)
+        y = jnp.dot(x, w_eff.astype(self.dtype or x.dtype), preferred_element_type=jnp.float32)
+        y = y.astype(self.dtype or x.dtype)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + b.astype(y.dtype)
+        return y
+
+
+class Conv2dWN(nn.Module):
+    """Weight-normalized 2D conv, NHWC in / NHWC out, HWIO kernel."""
+
+    features: int
+    kernel_size: Union[int, Tuple[int, int]] = 1
+    strides: Union[int, Tuple[int, int]] = 1
+    padding: Union[int, Tuple[int, int]] = 0
+    gain: float = 1.0
+    use_bias: bool = True
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kh, kw = _as_pair(self.kernel_size)
+        sh, sw = _as_pair(self.strides)
+        ph, pw = _as_pair(self.padding)
+        in_features = x.shape[-1]
+
+        w = self.param(
+            "weight",
+            xavier_uniform_init(self.gain, in_features, self.features, kh * kw),
+            (kh, kw, in_features, self.features),
+        )
+        g = self.param("g", _wn_scale_init(w, self.features))
+        w_eff = _wn_effective(w, g, channel_axis=3)
+
+        y = jax.lax.conv_general_dilated(
+            x,
+            w_eff.astype(self.dtype or x.dtype),
+            window_strides=(sh, sw),
+            padding=[(ph, ph), (pw, pw)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        ).astype(self.dtype or x.dtype)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + b.astype(y.dtype)
+        return y
+
+
+def _blockwise_deconv_init(
+    gain: float, fan_in: int, fan_out: int, k: Tuple[int, int], s: Tuple[int, int]
+) -> Callable[..., jnp.ndarray]:
+    """Xavier-uniform then made parity-constant across the stride lattice.
+
+    Sampling a base kernel of shape [kh/sh, kw/sw] and nearest-upsampling by
+    the stride reproduces the reference's blockwise overwrite
+    (reference: models/utils.py:85-89) in distribution: every stride-parity
+    block of the kernel is identical, so the transposed conv writes the same
+    value to all sub-pixel phases at init.
+    """
+    kh, kw = k
+    sh, sw = s
+    ksize = (kh * kw) // (sh * sw)
+    std = gain * math.sqrt(2.0 / ((fan_in + fan_out) * ksize))
+    a = std * math.sqrt(3.0)
+
+    def init(key, shape, dtype=jnp.float32):
+        assert shape[0] == kh and shape[1] == kw
+        bh = max(kh // sh, 1) if kh % sh == 0 else kh
+        bw = max(kw // sw, 1) if kw % sw == 0 else kw
+        if kh % sh == 0 and kw % sw == 0 and sh > 1 and sw > 1:
+            base = jax.random.uniform(
+                key, (bh, bw) + tuple(shape[2:]), dtype, minval=-a, maxval=a
+            )
+            return jnp.repeat(jnp.repeat(base, sh, axis=0), sw, axis=1)
+        return jax.random.uniform(key, shape, dtype, minval=-a, maxval=a)
+
+    return init
+
+
+class ConvTranspose2dWN(nn.Module):
+    """Weight-normalized 2D transposed conv, NHWC. Matches torch-style
+    (kernel_size, stride, padding) output geometry:
+    ``out = (in - 1) * stride - 2 * padding + kernel_size``.
+    """
+
+    features: int
+    kernel_size: Union[int, Tuple[int, int]] = 4
+    strides: Union[int, Tuple[int, int]] = 2
+    padding: Union[int, Tuple[int, int]] = 1
+    gain: float = 1.0
+    use_bias: bool = True
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kh, kw = _as_pair(self.kernel_size)
+        sh, sw = _as_pair(self.strides)
+        ph, pw = _as_pair(self.padding)
+        in_features = x.shape[-1]
+
+        w = self.param(
+            "weight",
+            _blockwise_deconv_init(
+                self.gain, in_features, self.features, (kh, kw), (sh, sw)
+            ),
+            (kh, kw, in_features, self.features),
+        )
+        g = self.param("g", _wn_scale_init(w, self.features))
+        w_eff = _wn_effective(w, g, channel_axis=3)
+
+        # Transposed conv as an lhs-dilated conv: dilate the input by the
+        # stride and run a stride-1 conv with padding (k - 1 - p).
+        y = jax.lax.conv_general_dilated(
+            x,
+            w_eff.astype(self.dtype or x.dtype),
+            window_strides=(1, 1),
+            padding=[(kh - 1 - ph, kh - 1 - ph), (kw - 1 - pw, kw - 1 - pw)],
+            lhs_dilation=(sh, sw),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        ).astype(self.dtype or x.dtype)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + b.astype(y.dtype)
+        return y
+
+
+class ConvSeq(nn.Module):
+    """A stack of (conv, leaky-relu) pairs mirroring the reference's
+    ``initseq`` convention: every layer followed by an activation gets the
+    leaky-relu gain; the final layer (no activation) gets gain 1.
+
+    specs: sequence of dicts with keys features/kernel_size/strides/padding
+    and optional "transpose": True.
+    """
+
+    specs: Sequence[dict]
+    final_activation: bool = False
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        n = len(self.specs)
+        for i, spec in enumerate(self.specs):
+            is_last = i == n - 1
+            act = (not is_last) or self.final_activation
+            gain = LEAKY_GAIN if act else 1.0
+            cls = ConvTranspose2dWN if spec.get("transpose") else Conv2dWN
+            kwargs = {k: v for k, v in spec.items() if k != "transpose"}
+            x = cls(gain=gain, dtype=self.dtype, **kwargs)(x)
+            if act:
+                x = leaky_relu(x)
+        return x
