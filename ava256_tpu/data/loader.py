@@ -1,0 +1,109 @@
+"""Per-host sharded, background-prefetched data loading.
+
+TPU-native replacement for the reference's DistributedSampler + DataLoader
+(reference: ddp-train.py:134-144): each host iterates its own shard of a
+(optionally shuffled) global index permutation and worker threads overlap
+zip/image decode with device compute. Failed samples are dropped at collate
+(None-skipping), matching the reference's data-level fault tolerance.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from typing import Any, Callable, Dict, Iterator, Optional
+
+import numpy as np
+
+from ava256_tpu.data.dataset import none_collate
+
+
+class ShardedLoader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        num_workers: int = 2,
+        host_id: int = 0,
+        num_hosts: int = 1,
+        drop_last: bool = True,
+        collate: Callable = none_collate,
+        prefetch: int = 4,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_workers = max(1, num_workers)
+        self.host_id = host_id
+        self.num_hosts = num_hosts
+        self.drop_last = drop_last
+        self.collate = collate
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def _epoch_indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self.epoch)
+            rng.shuffle(idx)
+        # Host shard: contiguous strided split like DistributedSampler
+        return idx[self.host_id :: self.num_hosts]
+
+    def __iter__(self) -> Iterator[Optional[Dict[str, Any]]]:
+        indices = self._epoch_indices()
+        self.epoch += 1
+        nb = len(indices) // self.batch_size
+        if not self.drop_last and len(indices) % self.batch_size:
+            nb += 1
+        batches = [
+            indices[i * self.batch_size : (i + 1) * self.batch_size] for i in range(nb)
+        ]
+
+        job_q: "queue.Queue" = queue.Queue()
+        results: Dict[int, Any] = {}
+        lock = threading.Lock()
+
+        for i, b in enumerate(batches):
+            job_q.put((i, b))
+
+        def worker():
+            while True:
+                try:
+                    i, b = job_q.get_nowait()
+                except queue.Empty:
+                    return
+                # Bound in-flight batches to the prefetch depth.
+                while True:
+                    with lock:
+                        if len(results) < self.prefetch:
+                            break
+                    time.sleep(0.001)
+                batch = self.collate([self.dataset[int(j)] for j in b])
+                with lock:
+                    results[i] = batch
+
+        threads = [
+            threading.Thread(target=worker, daemon=True) for _ in range(self.num_workers)
+        ]
+        for t in threads:
+            t.start()
+
+        served = 0
+        while served < len(batches):
+            with lock:
+                ready = served in results
+            if ready:
+                with lock:
+                    yield results.pop(served)
+                served += 1
+            else:
+                time.sleep(0.001)
+
+    def __len__(self) -> int:
+        n = len(self._epoch_indices())
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)

@@ -1,4 +1,4 @@
-from ava256_tpu.ops.layers import (
+from ava256_tpu.ops.layers import (  # noqa
     LEAKY_GAIN,
     Conv2dWN,
     ConvTranspose2dWN,

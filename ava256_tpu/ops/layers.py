@@ -211,6 +211,66 @@ class ConvTranspose2dWN(nn.Module):
         return y
 
 
+class Linear(nn.Module):
+    """Plain dense layer with the reference's Xavier-uniform init (no WN)."""
+
+    features: int
+    gain: float = 1.0
+    use_bias: bool = True
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_features = x.shape[-1]
+        w = self.param(
+            "weight",
+            xavier_uniform_init(self.gain, in_features, self.features, 1),
+            (in_features, self.features),
+        )
+        y = jnp.dot(x, w.astype(self.dtype or x.dtype), preferred_element_type=jnp.float32)
+        y = y.astype(self.dtype or x.dtype)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + b.astype(y.dtype)
+        return y
+
+
+class Conv2d(nn.Module):
+    """Plain 2D conv (NHWC) with the reference's Xavier-uniform init (no WN)."""
+
+    features: int
+    kernel_size: Union[int, Tuple[int, int]] = 1
+    strides: Union[int, Tuple[int, int]] = 1
+    padding: Union[int, Tuple[int, int]] = 0
+    gain: float = 1.0
+    use_bias: bool = True
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kh, kw = _as_pair(self.kernel_size)
+        sh, sw = _as_pair(self.strides)
+        ph, pw = _as_pair(self.padding)
+        in_features = x.shape[-1]
+        w = self.param(
+            "weight",
+            xavier_uniform_init(self.gain, in_features, self.features, kh * kw),
+            (kh, kw, in_features, self.features),
+        )
+        y = jax.lax.conv_general_dilated(
+            x,
+            w.astype(self.dtype or x.dtype),
+            window_strides=(sh, sw),
+            padding=[(ph, ph), (pw, pw)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        ).astype(self.dtype or x.dtype)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + b.astype(y.dtype)
+        return y
+
+
 class ConvSeq(nn.Module):
     """A stack of (conv, leaky-relu) pairs mirroring the reference's
     ``initseq`` convention: every layer followed by an activation gets the

@@ -1,0 +1,307 @@
+"""Production MVP raymarcher: tile culling + per-ray sample compaction (XLA).
+
+The CUDA reference marches every ray step-by-step, using a per-warp BVH hit
+list to skip empty space (reference: extensions/mvpraymarch/
+mvpraymarch_subset_kernel.h:14-100). TPUs execute dense programs, so instead
+of skipping work *during* the march we compact the work list *before* it:
+
+1. **Tile culling** — rays are grouped into TxT pixel tiles (all rays of one
+   camera share an origin, so a tile is a cone). Each primitive's bounding
+   sphere is tested against each tile cone: O(ntiles * K) vectorized flops.
+   The nearest ``max_hit`` intersecting primitives per tile are kept, sorted
+   by distance along the tile axis.
+2. **Per-ray refinement** — exact ray/OBB slab tests against the tile's
+   candidates give per-ray [t_in, t_out) marching intervals.
+3. **Sample compaction** — each ray enumerates at most ``max_samples`` sample
+   points (t = tmin + k*dt restricted to its intervals), globally sorted by t.
+   Work is proportional to *useful* samples instead of cube-crossing steps.
+4. **Evaluation + saturating scan** — each sample transforms into its
+   primitive's frame, applies the border fade, trilinearly samples the RGBA
+   box (align_corners=True), and the sorted samples are composited with the
+   reference's saturating additive rule via a cumulative sum:
+       m_j = min(cumsum(alpha_j), 1);  contrib_j = m_j - m_{j-1}
+       rgb = sum_j contrib_j * rgb_j;  alpha = m_last
+
+Everything is static-shaped and differentiable by JAX AD: template gradients
+come from the transpose of the gathers (scatter-add), SRT gradients from the
+transform chain — the same quantities the reference's hand-written backward
+kernel produces (extensions/mvpraymarch/mvpraymarch_subset_kernel.h:102-216).
+Tiles are processed in chunks under jax.checkpoint to bound live memory.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _cummax(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    return jax.lax.associative_scan(jnp.maximum, x, axis=axis)
+
+
+def _trilinear(
+    flat_template: jnp.ndarray,  # [(NK)*D*H*W, C] flattened volumes
+    vol_shape: Tuple[int, int, int],
+    gid: jnp.ndarray,  # [...] global volume index (b*K + k)
+    y: jnp.ndarray,  # [..., 3] coords in [-1, 1] (x->W, y->H, z->D)
+) -> jnp.ndarray:
+    """align_corners=True trilinear sampling with zero padding, batched by a
+    per-sample volume id. 8 corner gathers from the flattened template."""
+    d, h, w = vol_shape
+    c = flat_template.shape[-1]
+    fx = (y[..., 0] + 1.0) * 0.5 * (w - 1)
+    fy = (y[..., 1] + 1.0) * 0.5 * (h - 1)
+    fz = (y[..., 2] + 1.0) * 0.5 * (d - 1)
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    z0 = jnp.floor(fz)
+    wx1, wy1, wz1 = fx - x0, fy - y0, fz - z0
+
+    base = gid.astype(jnp.int32) * (d * h * w)
+    out = 0.0
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                xi, yi, zi = x0 + dx, y0 + dy, z0 + dz
+                mask = (
+                    (xi >= 0) & (xi <= w - 1)
+                    & (yi >= 0) & (yi <= h - 1)
+                    & (zi >= 0) & (zi <= d - 1)
+                )
+                xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+                yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+                zc = jnp.clip(zi, 0, d - 1).astype(jnp.int32)
+                idx = base + (zc * h + yc) * w + xc
+                vals = jnp.take(flat_template, idx.reshape(-1), axis=0)
+                vals = vals.reshape(idx.shape + (c,)) * mask[..., None]
+                wgt = (
+                    jnp.where(dx == 1, wx1, 1.0 - wx1)
+                    * jnp.where(dy == 1, wy1, 1.0 - wy1)
+                    * jnp.where(dz == 1, wz1, 1.0 - wz1)
+                )
+                out = out + vals * wgt[..., None]
+    return out
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "stepsize", "fadescale", "fadeexp", "tile", "max_hit", "max_samples",
+        "chunk_tiles",
+    ),
+)
+def mvp_raymarch_xla(
+    raypos: jnp.ndarray,  # [N, H, W, 3]
+    raydir: jnp.ndarray,  # [N, H, W, 3]
+    stepsize: float,
+    tminmax: jnp.ndarray,  # [N, H, W, 2]
+    primpos: jnp.ndarray,  # [N, K, 3]
+    primrot: jnp.ndarray,  # [N, K, 3, 3] (columns = local axes)
+    primscale: jnp.ndarray,  # [N, K, 3]
+    template: jnp.ndarray,  # [N, K, D, Hh, Ww, 4]
+    warp: Optional[jnp.ndarray] = None,  # [N, K, D, Hh, Ww, 3]
+    fadescale: float = 8.0,
+    fadeexp: float = 8.0,
+    tile: int = 16,
+    max_hit: int = 128,
+    max_samples: int = 128,
+    chunk_tiles: int = 64,
+) -> jnp.ndarray:
+    n, h, w = raypos.shape[0], raypos.shape[1], raypos.shape[2]
+    K = primpos.shape[1]
+    vd, vh, vw = template.shape[2], template.shape[3], template.shape[4]
+    dt = stepsize
+
+    # ---- pad image to tile multiples; dead rays get empty t-ranges ----
+    hp, wp = _ceil_to(h, tile), _ceil_to(w, tile)
+    pad = ((0, 0), (0, hp - h), (0, wp - w), (0, 0))
+    raypos_p = jnp.pad(raypos, pad)
+    raydir_p = jnp.pad(raydir, pad, constant_values=1.0)
+    tmm_p = jnp.pad(tminmax, pad, constant_values=0.0)  # tmin=tmax=0 -> dead
+
+    nty, ntx = hp // tile, wp // tile
+    ntiles = n * nty * ntx
+    tsz = tile * tile
+
+    def tile_view(x):
+        ch = x.shape[-1]
+        x = x.reshape(n, nty, tile, ntx, tile, ch)
+        return x.transpose(0, 1, 3, 2, 4, 5).reshape(ntiles, tsz, ch)
+
+    t_o = tile_view(raypos_p)  # [NT, T2, 3]
+    t_d = tile_view(raydir_p)
+    t_mm = tile_view(tmm_p)
+    tile_b = (
+        jnp.arange(ntiles, dtype=jnp.int32) // (nty * ntx)
+    )  # batch index per tile
+
+    # ---- flatten prims over batch for global gathers ----
+    fp_pos = primpos.reshape(n * K, 3)
+    fp_rot = primrot.reshape(n * K, 3, 3)
+    fp_scale = primscale.reshape(n * K, 3)
+    flat_template = template.reshape(n * K * vd * vh * vw, template.shape[-1])
+    flat_warp = (
+        warp.reshape(n * K * vd * vh * vw, warp.shape[-1]) if warp is not None else None
+    )
+
+    # Bounding spheres: local box corners (+-1)/s rotated => circumradius.
+    radii = jnp.linalg.norm(1.0 / primscale, axis=-1)  # [N, K]
+
+    # ---- per-tile cone culling (all rays of a camera share an origin) ----
+    apex = t_o[:, 0, :]  # [NT, 3]
+    dsum = jnp.sum(t_d, axis=1)
+    axis = dsum / jnp.linalg.norm(dsum, axis=-1, keepdims=True)  # [NT, 3]
+    cosang = jnp.einsum("tpc,tc->tp", t_d, axis)
+    sinmax = jnp.sqrt(jnp.clip(1.0 - jnp.min(cosang, axis=1) ** 2, 0.0, 1.0))
+    tanmax = sinmax / jnp.clip(jnp.min(cosang, axis=1), 1e-3)  # [NT]
+    live = t_mm[..., 0] < t_mm[..., 1]
+    big = jnp.float32(1e9)
+    tile_tmin = jnp.min(jnp.where(live, t_mm[..., 0], big), axis=1)
+    tile_tmax = jnp.max(jnp.where(live, t_mm[..., 1], -big), axis=1)
+
+    centers = primpos[tile_b]  # [NT, K, 3]
+    rads = radii[tile_b]  # [NT, K]
+    v = centers - apex[:, None, :]
+    t_c = jnp.einsum("tkc,tc->tk", v, axis)
+    perp = v - t_c[..., None] * axis[:, None, :]
+    dist = jnp.linalg.norm(perp, axis=-1)
+    hit = (
+        (dist <= rads + jnp.maximum(t_c, 0.0) * tanmax[:, None] + dt)
+        & (t_c + rads >= tile_tmin[:, None])
+        & (t_c - rads <= tile_tmax[:, None])
+        & (tile_tmax > tile_tmin)[:, None]
+    )
+    key = jnp.where(hit, t_c, jnp.inf)
+    order = jnp.argsort(key, axis=1)[:, :max_hit]  # [NT, MH] nearest-first
+    cand_key = jnp.take_along_axis(key, order, axis=1)
+    cand_valid = jnp.isfinite(cand_key)  # [NT, MH]
+    cand_gid = tile_b[:, None] * K + order.astype(jnp.int32)  # global prim ids
+
+    out_dtype = raypos.dtype
+
+    # ---- per-tile-chunk marching (scanned, rematerialized) ----
+    def process(chunk):
+        o, d, mm, gid, cvalid = chunk
+        # o,d: [CT, T2, 3]; mm: [CT, T2, 2]; gid: [CT, MH]; cvalid: [CT, MH]
+        c_pos = fp_pos[gid]  # [CT, MH, 3]
+        c_rot = fp_rot[gid]  # [CT, MH, 3, 3]
+        c_scale = fp_scale[gid]  # [CT, MH, 3]
+
+        tmin = mm[..., 0]  # [CT, T2]
+        tmax = mm[..., 1]
+
+        # Exact ray/OBB slab test in primitive frames.
+        rel = o[:, None, :, :] - c_pos[:, :, None, :]  # [CT, MH, T2, 3]
+        oy = jnp.einsum("chpi,chij->chpj", rel, c_rot) * c_scale[:, :, None, :]
+        dy = jnp.einsum("cpi,chij->chpj", d, c_rot) * c_scale[:, :, None, :]
+        dy = jnp.where(jnp.abs(dy) < 1e-9, jnp.where(dy >= 0, 1e-9, -1e-9), dy)
+        t1 = (-1.0 - oy) / dy
+        t2 = (1.0 - oy) / dy
+        tin = jnp.max(jnp.minimum(t1, t2), axis=-1)  # [CT, MH, T2]
+        tout = jnp.min(jnp.maximum(t1, t2), axis=-1)
+        tin = jnp.maximum(tin, tmin[:, None, :])
+        tout = jnp.minimum(tout, tmax[:, None, :])
+        seg_ok = (tin < tout) & cvalid[:, :, None]
+
+        # Steps on the ray's grid t = tmin + k*dt hitting [tin, tout],
+        # widened by one step on each side (the in-box mask is exact).
+        kin = jnp.floor((tin - tmin[:, None, :]) / dt) - 1.0
+        kin = jnp.maximum(kin, 0.0)
+        cnt = jnp.ceil((tout - tmin[:, None, :]) / dt) - kin + 1.0
+        cnt = jnp.where(seg_ok, jnp.clip(cnt, 0.0, float(max_samples)), 0.0)
+        kin = kin.astype(jnp.int32).transpose(0, 2, 1)  # [CT, T2, MH]
+        cnt = cnt.astype(jnp.int32).transpose(0, 2, 1)
+
+        # Offsets of each candidate's samples in the per-ray sample list.
+        off = jnp.cumsum(cnt, axis=-1) - cnt  # exclusive cumsum [CT, T2, MH]
+
+        # Map sample slot -> candidate via scatter + cummax.
+        slot_init = jnp.zeros(cnt.shape[:-1] + (max_samples,), jnp.int32)
+        hvals = jnp.broadcast_to(
+            jnp.arange(cnt.shape[-1], dtype=jnp.int32), cnt.shape
+        )
+        scat = jnp.where(cnt > 0, hvals, 0)
+        # Candidates whose samples start beyond the list never scatter.
+        oob = jnp.where((cnt > 0) & (off < max_samples), off, max_samples)
+        ct, t2 = cnt.shape[0], cnt.shape[1]
+        slot = slot_init.reshape(ct * t2, max_samples)
+        upd = scat.reshape(ct * t2, -1)
+        idx = oob.reshape(ct * t2, -1)
+        slot = jax.vmap(lambda s, i, u: s.at[i].max(u, mode="drop"))(slot, idx, upd)
+        slot = slot.reshape(ct, t2, max_samples)
+        cand_of = _cummax(slot, axis=-1)  # [CT, T2, S]
+
+        j = jnp.arange(max_samples, dtype=jnp.int32)
+        off_j = jnp.take_along_axis(off, cand_of, axis=-1)
+        cnt_j = jnp.take_along_axis(cnt, cand_of, axis=-1)
+        kin_j = jnp.take_along_axis(kin, cand_of, axis=-1)
+        step_j = kin_j + (j - off_j)
+        s_valid = (j - off_j) < cnt_j
+        t_j = tmin[..., None] + step_j.astype(out_dtype) * dt
+        s_valid &= (t_j >= tmin[..., None]) & (t_j < tmax[..., None])
+
+        # Global t-order (stable sort keeps near-to-far candidate order on ties).
+        t_sortkey = jnp.where(s_valid, t_j, jnp.inf)
+        sort_idx = jnp.argsort(t_sortkey, axis=-1)
+        t_j = jnp.take_along_axis(t_j, sort_idx, axis=-1)
+        s_valid = jnp.take_along_axis(s_valid, sort_idx, axis=-1)
+        cand_of = jnp.take_along_axis(cand_of, sort_idx, axis=-1)
+
+        # Gather per-sample primitive params and evaluate.
+        g_j = jnp.take_along_axis(
+            jnp.broadcast_to(gid[:, None, :], (ct, t2, gid.shape[-1])), cand_of, axis=-1
+        )  # [CT, T2, S]
+        g_safe = jnp.where(s_valid, g_j, 0)
+        p_pos = fp_pos[g_safe]  # [CT, T2, S, 3]
+        p_rot = fp_rot[g_safe]
+        p_scale = fp_scale[g_safe]
+
+        pos = o[:, :, None, :] + d[:, :, None, :] * t_j[..., None]
+        y0 = (
+            jnp.einsum("ctsi,ctsij->ctsj", pos - p_pos, p_rot) * p_scale
+        )  # [CT, T2, S, 3]
+        fade = jnp.exp(
+            -fadescale * jnp.sum(jnp.abs(y0) ** fadeexp, axis=-1)
+        )
+        inbox = jnp.all((y0 >= -1.0) & (y0 <= 1.0), axis=-1)
+
+        if flat_warp is not None:
+            y1 = _trilinear(flat_warp, (vd, vh, vw), g_safe, y0)
+        else:
+            y1 = y0
+        sample = _trilinear(flat_template, (vd, vh, vw), g_safe, y1)
+
+        mask = (s_valid & inbox).astype(out_dtype)
+        alpha_j = sample[..., 3] * fade * dt * mask  # [CT, T2, S]
+        cum = jnp.cumsum(alpha_j, axis=-1)
+        m = jnp.minimum(cum, 1.0)
+        contrib = m - jnp.concatenate([jnp.zeros_like(m[..., :1]), m[..., :-1]], axis=-1)
+        rgb = jnp.sum(contrib[..., None] * sample[..., 0:3], axis=-2)  # [CT, T2, 3]
+        alpha = m[..., -1:]
+        return jnp.concatenate([rgb, alpha], axis=-1)  # [CT, T2, 4]
+
+    nchunks = max(1, -(-ntiles // chunk_tiles))
+    ntp = nchunks * chunk_tiles
+
+    def padt(x, fill=0):
+        padw = [(0, ntp - ntiles)] + [(0, 0)] * (x.ndim - 1)
+        return x.reshape((nchunks, chunk_tiles) + x.shape[1:]) if ntp == ntiles else jnp.pad(
+            x, padw, constant_values=fill
+        ).reshape((nchunks, chunk_tiles) + x.shape[1:])
+
+    chunks = (padt(t_o), padt(t_d), padt(t_mm), padt(cand_gid), padt(cand_valid))
+    out = jax.lax.map(jax.checkpoint(process), chunks)
+    out = out.reshape(ntp, tsz, 4)[:ntiles]
+
+    # Un-tile and crop padding.
+    out = out.reshape(n, nty, ntx, tile, tile, 4).transpose(0, 1, 3, 2, 4, 5)
+    out = out.reshape(n, hp, wp, 4)[:, :h, :w, :]
+    return out

@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""Benchmark: flagship train-step throughput on the available accelerator.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline derivation (BASELINE.md): the reference publishes no throughput
+numbers; its 4-id config trains ~300k iterations in 1.5 days on 16 A100s at
+batch 4/GPU (sbatch-4.sh, configs/config-4.yaml) => 300000 / (1.5*86400) / 16
+~= 0.1447 train steps/sec per chip at batch 4, 512x334 rays. vs_baseline is
+our per-chip steps/sec at the same per-chip batch and ray count divided by
+that figure.
+
+Env knobs: AVA256_BENCH_STEPS (default 5), AVA256_BENCH_BATCH (4),
+AVA256_BENCH_NPRIMS (16384), AVA256_BENCH_HW ("512x334").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+REFERENCE_STEPS_PER_SEC_PER_CHIP = 300000 / (1.5 * 86400) / 16  # ~0.1447
+
+
+def main() -> None:
+    from ava256_tpu.platform import respect_env_platforms
+
+    respect_env_platforms()
+    import jax
+
+    from __graft_entry__ import _build
+    from ava256_tpu.parallel.mesh import make_mesh, shard_batch
+    from ava256_tpu.train.state import create_train_state, make_optimizer
+    from ava256_tpu.train.step import BATCH_MODEL_KEYS, make_train_step
+
+    steps = int(os.environ.get("AVA256_BENCH_STEPS", 5))
+    batch = int(os.environ.get("AVA256_BENCH_BATCH", 4))
+    nprims = int(os.environ.get("AVA256_BENCH_NPRIMS", 16384))
+    h, w = map(int, os.environ.get("AVA256_BENCH_HW", "512x334").split("x"))
+
+    model, mb, dataset = _build(
+        texsize=1024, nprims=nprims, height=h, width=w, batch=batch,
+        raymarch_options={"tile": 16, "max_hit": 64, "max_samples": 96,
+                          "chunk_tiles": 128},
+    )
+
+    from ava256_tpu.train.init import init_model
+
+    rng = jax.random.PRNGKey(0)
+    variables = init_model(model, rng, mb)
+    tx = make_optimizer()
+    state = create_train_state(variables, tx)
+    loss_weights = {"irgbl1": 1.0, "vertl1": 0.1, "kldiv": 1e-3, "primvolsum": 0.01}
+    train_step = make_train_step(
+        model, tx, loss_weights, dataset.vertmean, dataset.vertstd
+    )
+
+    mesh = make_mesh(axis_names=("data",))
+    mb = shard_batch(mb, mesh)
+
+    # Warmup/compile
+    state, loss, _ = train_step(state, mb, rng)
+    jax.block_until_ready(loss)
+
+    t0 = time.time()
+    for i in range(steps):
+        rng, sub = jax.random.split(rng)
+        state, loss, _ = train_step(state, mb, sub)
+    jax.block_until_ready(loss)
+    dt = (time.time() - t0) / steps
+
+    n_chips = len(jax.devices())
+    steps_per_sec_per_chip = (1.0 / dt) / n_chips * (batch / 4.0) * (h * w) / (512 * 334)
+    print(
+        json.dumps(
+            {
+                "metric": "train_steps_per_sec_per_chip_b4_512x334",
+                "value": round(steps_per_sec_per_chip, 4),
+                "unit": "steps/s/chip",
+                "vs_baseline": round(
+                    steps_per_sec_per_chip / REFERENCE_STEPS_PER_SEC_PER_CHIP, 3
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -12,6 +12,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon TPU plugin (sitecustomize) force-sets jax_platforms="axon,cpu",
+# overriding the env var — force CPU back explicitly for the test suite.
+jax.config.update("jax_platforms", "cpu")
+
 # Numerical parity tests compare against fp64/torch oracles; force full-precision
 # matmuls/convs in tests (production code inherits the platform default).
 jax.config.update("jax_default_matmul_precision", "highest")
