@@ -14,6 +14,7 @@ import os
 
 def respect_env_platforms() -> None:
     env = os.environ.get("JAX_PLATFORMS")
+    enable_compilation_cache()
     if not env:
         return
     import jax
@@ -24,3 +25,21 @@ def respect_env_platforms() -> None:
         current = None
     if current != env:
         jax.config.update("jax_platforms", env)
+
+
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Persist compiled executables across processes. TPU compiles of the
+    fused train step are expensive (remote compilation in some environments);
+    the cache makes every run after the first start instantly."""
+    import jax
+
+    path = path or os.environ.get("JAX_COMPILATION_CACHE_DIR") or os.path.join(
+        os.path.expanduser("~"), ".cache", "ava256_tpu", "jax_cache"
+    )
+    os.makedirs(path, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:  # noqa: BLE001 — cache flags vary across jax versions
+        pass
