@@ -75,6 +75,19 @@ def _zip_read(zf: zipfile.ZipFile, name_noext: str) -> bytes:
 def _decode_image(data: bytes, resize: Optional[Tuple[int, int]] = None) -> np.ndarray:
     img = Image.open(io.BytesIO(data))
     if resize is not None:
+        # Prefer the native bilinear resize (ava256_tpu.native) over PIL.
+        try:
+            from ava256_tpu.native import resize_bilinear_u8
+
+            arr8 = np.asarray(img)
+            if arr8.dtype == np.uint8 and arr8.ndim == 3:
+                out = resize_bilinear_u8(
+                    np.ascontiguousarray(arr8), (resize[1], resize[0])
+                )
+                if out is not None:
+                    return out[..., :3].astype(np.float32)
+        except Exception:  # noqa: BLE001
+            pass
         img = img.resize(resize)  # (W, H)
     arr = np.asarray(img, dtype=np.float32)
     if arr.ndim == 2:

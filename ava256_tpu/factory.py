@@ -32,7 +32,7 @@ def get_autoencoder(
     primsize: Tuple[int, int, int] = (8, 8, 8),
     colorcal: bool = True,
     bgmodel: bool = True,
-    raymarch_backend: str = "xla",
+    raymarch_backend: str = "pallas",
     raymarch_options: Optional[Dict[str, Any]] = None,
     dtype: Any = None,
 ) -> Autoencoder:

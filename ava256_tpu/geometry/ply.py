@@ -71,9 +71,20 @@ def parse_ply_vertices(src: Union[bytes, BinaryIO]) -> np.ndarray:
     """Parse a PLY file and return all vertex properties as [N, P] float32.
 
     For the ava-256 registration meshes P == 3 (x, y, z). The vertex element
-    must be the first element in the file (true for those assets).
+    must be the first element in the file (true for those assets). Uses the
+    native C++ parser (ava256_tpu.native) when built; numpy otherwise.
     """
     data = src if isinstance(src, (bytes, bytearray)) else src.read()
+
+    try:
+        from ava256_tpu.native import parse_ply_vertices_native
+
+        native = parse_ply_vertices_native(bytes(data))
+        if native is not None:
+            return native
+    except Exception:  # noqa: BLE001 — fall back to the numpy path
+        pass
+
     n, props, fmt, off = _parse_header(bytes(data))
 
     if fmt == "ascii":

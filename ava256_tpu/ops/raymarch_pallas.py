@@ -1,20 +1,21 @@
-"""Pallas TPU kernels for MVP raymarching.
+"""Pallas TPU kernels for MVP raymarching (forward + custom-VJP backward).
 
 TPU-native replacement for the reference CUDA raymarcher's hot loop
 (reference: extensions/mvpraymarch/mvpraymarch_subset_kernel.h:14-216). The
 two-level culling (tile cones -> per-ray OBB intervals) is shared with the
-XLA path; this kernel replaces the per-sample evaluation and compositing:
+XLA path; these kernels replace the per-sample evaluation and compositing:
 
-- grid over pixel tiles; per-tile candidate primitive params and RGBA boxes
-  are pre-gathered in XLA and streamed HBM->VMEM by the Pallas pipeline
-  (double-buffered across grid steps);
-- per candidate, the kernel marches the (tile-coherent) step range writing
+- grid over pixel tiles; per-tile candidate primitive RGBA boxes and packed
+  affine transforms (A = R diag(s), b = -c A, lane-aligned 8x128 — no scalar
+  control flow or SMEM parameter plumbing; invalid candidates carry empty
+  slab intervals) are pre-gathered in XLA and streamed HBM->VMEM by the
+  Pallas pipeline (double-buffered across grid steps);
+- per candidate, the kernel marches its tile-coherent step range, writing
   density/color into per-ray step buffers laid out [steps, rays] so each
-  step-row update is a full-lane vector op;
+  row update is a full-lane vector op;
 - trilinear sampling is factorized into a one-hot (z,y)-plane matmul on the
-  MXU plus an 8-tap x interpolation on the VPU — no scalar gathers;
-- compositing applies the saturating additive rule as a sequential scan over
-  the tile's step range only.
+  MXU plus static-slice x interpolation — no scalar gathers;
+- compositing applies the saturating additive rule as a sequential row scan.
 
 Within-step semantics: all primitives covering the same step are summed
 before saturation (order-independent and deterministic), matching the
@@ -22,17 +23,23 @@ reference up to its own unordered-atomics ambiguity (reference:
 extensions/mvpraymarch/mvpraymarch.py:339-342 documents that ordering is
 unspecified without sortprims).
 
-The backward pass is a custom VJP implemented as a second Pallas kernel that
-re-marches (like the reference's backward kernel), producing per-(tile,
-candidate) gradients which XLA segment-sums into the global template/SRT
-gradients — no atomics, no races.
+Backward (mirroring the reference's re-marching backward kernel,
+extensions/mvpraymarch/mvpraymarch_subset_kernel.h:102-216): phase A re-runs
+the forward march to rebuild the step buffers; phase B converts the incoming
+rgba cotangent into per-row density/color cotangents via a forward + reverse
+scan over the saturating composite; phase C re-marches, chaining per-sample
+cotangents through the trilinear sample (transpose matmuls on the MXU) and
+the fade/affine transform, accumulating per-primitive gradients into global
+HBM accumulators by read-modify-write DMA — race-free because the tile grid
+executes sequentially on the TensorCore, so no atomics are needed (the
+reference requires sortprims=True for deterministic gradients; ours are
+always deterministic).
 """
 
 from __future__ import annotations
 
-import math
-from functools import partial
-from typing import Optional, Tuple
+from functools import lru_cache, partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -43,7 +50,7 @@ from ava256_tpu.ops.raymarch_xla import _ceil_to
 
 
 # ---------------------------------------------------------------------------
-# Culling (XLA, shared logic with raymarch_xla but returns per-tile gathers)
+# Culling (XLA): tile the image, cone-cull primitives per tile
 # ---------------------------------------------------------------------------
 
 
@@ -110,73 +117,141 @@ def _untile(out, meta, tile):
     return out.reshape(n, meta["hp"], meta["wp"], 4)[:, : meta["h"], : meta["w"], :]
 
 
+def _pack_affine(c_pos, c_rot, c_scale):
+    """A = R diag(s), b = -c @ A (differentiable; used by the VJP router)."""
+    A = c_rot * c_scale[..., None, :]
+    b = -jnp.einsum("...i,...ij->...j", c_pos, A)
+    return A, b
+
+
+def _gather_and_pack(fp_pos, fp_rot, fp_scale, fp_box, cand_gid, cand_valid, mh, bs):
+    ntiles = cand_gid.shape[0]
+    c_box = fp_box[cand_gid]  # [NT, MH, bs^2, bs*4]
+    A, b = _pack_affine(
+        fp_pos[cand_gid], fp_rot[cand_gid].reshape(ntiles, mh, 3, 3), fp_scale[cand_gid]
+    )
+    valid_f = cand_valid.astype(jnp.float32)[..., None]
+    A = A * valid_f[..., None]
+    b = b * valid_f + (1.0 - valid_f) * 4.0  # push invalid cands out of the box
+    aff = jnp.zeros((ntiles, mh, 8, 128), jnp.float32)
+    aff = aff.at[:, :, 0:3, 0:3].set(A)
+    aff = aff.at[:, :, 3, 0:3].set(b)
+    return aff, c_box
+
+
 # ---------------------------------------------------------------------------
-# Shared in-kernel helpers
+# In-kernel helpers
 # ---------------------------------------------------------------------------
+
+
+def _pow_abs(x, p):
+    """|x|^p; for small integer p uses multiplication only (no transcendental
+    pow) — the production fade exponent is 8 (reference: utils.py default)."""
+    if float(p).is_integer() and 1 <= int(p) <= 16:
+        n = int(p)
+        a = jnp.abs(x)
+        out = None
+        acc = a
+        while n:
+            if n & 1:
+                out = acc if out is None else out * acc
+            acc = acc * acc
+            n >>= 1
+        return out
+    return jnp.abs(x) ** p
 
 
 def _axis_onehot(cols, f):
-    """Linear-interp weights evaluated at integer positions ``cols``.
-
-    cols: [T2, C] integer positions (as float); f: [T2] fractional index.
-    Returns w[t, j] = (1-frac) at floor(f), frac at floor(f)+1, else 0 —
-    align_corners=True sampling with zero padding outside [0, size-1].
-    """
+    """w[t, j] = (1 - frac) at floor(f), frac at floor(f)+1, else 0."""
     i0 = jnp.floor(f)[:, None]
-    frac = (f[:, None] - i0)
+    frac = f[:, None] - i0
     w = jnp.where(cols == i0, 1.0 - frac, 0.0)
-    w = w + jnp.where(cols == i0 + 1.0, frac, 0.0)
-    return w
+    return w + jnp.where(cols == i0 + 1.0, frac, 0.0)
 
 
-def _sample_box(box2d, y0, y1, y2, bs):
-    """Trilinear sample of one box for all rays (Mosaic-friendly: only 2D
-    elementwise ops, one MXU matmul, and static slices).
+def _axis_onehot_diff(cols, f):
+    """d(w)/d(f): -1 at floor(f), +1 at floor(f)+1, else 0."""
+    i0 = jnp.floor(f)[:, None]
+    d = jnp.where(cols == i0, -1.0, 0.0)
+    return d + jnp.where(cols == i0 + 1.0, 1.0, 0.0)
 
-    box2d: [bs*bs, bs*4] VMEM block (rows = z*bs+y, cols = x*4+c).
-    y0/y1/y2: [T2] normalized coords (x, y, z). Returns [T2, 4].
-    """
+
+def _prim_setup(m, ox, oy, oz, dx, dy, dz, tmin, tmax, dt, nbuf):
+    """Slab-test one candidate from its packed affine. Returns the per-ray
+    local ray (origin/direction in primitive coords), the clipped interval,
+    and the tile-coherent step-row range."""
+    a_rows = m[0:3, :]  # [3, 128]
+    b_row = m[3, :]
+    o3 = jnp.stack([ox, oy, oz], axis=-1)  # [T2, 3]
+    d3 = jnp.stack([dx, dy, dz], axis=-1)
+    oa = jnp.dot(o3, a_rows, preferred_element_type=jnp.float32) + b_row[None, :]
+    da = jnp.dot(d3, a_rows, preferred_element_type=jnp.float32)
+    oy0, oy1, oy2 = oa[:, 0], oa[:, 1], oa[:, 2]
+    dy0, dy1, dy2 = da[:, 0], da[:, 1], da[:, 2]
+
+    def axis_range(oc, dc):
+        dc = jnp.where(jnp.abs(dc) < 1e-9, jnp.where(dc >= 0, 1e-9, -1e-9), dc)
+        t1 = (-1.0 - oc) / dc
+        t2_ = (1.0 - oc) / dc
+        return jnp.minimum(t1, t2_), jnp.maximum(t1, t2_)
+
+    a0, b0 = axis_range(oy0, dy0)
+    a1, b1 = axis_range(oy1, dy1)
+    a2, b2 = axis_range(oy2, dy2)
+    tin = jnp.maximum(jnp.maximum(jnp.maximum(a0, a1), a2), tmin)
+    tout = jnp.minimum(jnp.minimum(jnp.minimum(b0, b1), b2), tmax)
+    seg = tin < tout
+
+    kin = jnp.floor((tin - tmin) / dt) - 1.0
+    kout = jnp.ceil((tout - tmin) / dt) + 1.0
+    r0 = jnp.maximum(jnp.min(jnp.where(seg, kin, jnp.float32(nbuf))), 0.0)
+    r1 = jnp.minimum(jnp.max(jnp.where(seg, kout, 0.0)), float(nbuf))
+    return (oy0, oy1, oy2), (dy0, dy1, dy2), tin, tout, seg, (
+        r0.astype(jnp.int32), r1.astype(jnp.int32)
+    )
+
+
+def _sample_parts(box2d, y0, y1, y2, bs):
+    """Trilinear sample; returns (sample [T2,4], wzy, tmp, wx32, fx, fy, fz)."""
     t2 = y0.shape[0]
     fx = (y0 + 1.0) * 0.5 * (bs - 1)
     fy = (y1 + 1.0) * 0.5 * (bs - 1)
     fz = (y2 + 1.0) * 0.5 * (bs - 1)
-
-    # wzy[t, z*bs + y] = wz[t, z] * wy[t, y], built directly on 64 columns.
     colzy = jax.lax.broadcasted_iota(jnp.int32, (t2, bs * bs), 1)
     zcol = (colzy // bs).astype(jnp.float32)
     ycol = (colzy % bs).astype(jnp.float32)
     wzy = _axis_onehot(zcol, fz) * _axis_onehot(ycol, fy)  # [T2, bs^2]
-
     tmp = jnp.dot(wzy, box2d, preferred_element_type=jnp.float32)  # [T2, bs*4]
-
-    # x interpolation: weight each 4-channel group by wx[x], sum groups.
     colx = jax.lax.broadcasted_iota(jnp.int32, (t2, bs * 4), 1)
     xcol = (colx // 4).astype(jnp.float32)
-    wx32 = _axis_onehot(xcol, fx)  # [T2, bs*4]
+    wx32 = _axis_onehot(xcol, fx)
     prod = wx32 * tmp
     sample = prod[:, 0:4]
     for x in range(1, bs):
         sample = sample + prod[:, 4 * x : 4 * x + 4]
-    return sample
+    return sample, wzy, tmp, wx32, (zcol, ycol, xcol), (fx, fy, fz)
 
 
-def _local_coords(o, d, t, cpos, crot, cscale):
-    """y = ((pos - c) @ R) * s for all rays at parameter t."""
-    pos = o + d * t[:, None]  # [T2, 3]
-    rel = pos - cpos[None, :]
-    y = jnp.dot(rel, crot, preferred_element_type=jnp.float32) * cscale[None, :]
-    return pos, rel, y
-
-
-def _slab(o, d, cpos, crot, cscale, tmin, tmax):
-    oy = jnp.dot(o - cpos[None, :], crot, preferred_element_type=jnp.float32) * cscale
-    dy = jnp.dot(d, crot, preferred_element_type=jnp.float32) * cscale
-    dy = jnp.where(jnp.abs(dy) < 1e-9, jnp.where(dy >= 0, 1e-9, -1e-9), dy)
-    t1 = (-1.0 - oy) / dy
-    t2 = (1.0 - oy) / dy
-    tin = jnp.maximum(jnp.max(jnp.minimum(t1, t2), axis=-1), tmin)
-    tout = jnp.minimum(jnp.min(jnp.maximum(t1, t2), axis=-1), tmax)
-    return tin, tout
+def _row_state(ox, oy, oz, dx, dy, dz, tmin, tmax, oyv, dyv, tin, tout, seg,
+               rr, dt, fadescale, fadeexp):
+    """Per-row local coords, fade, and validity mask for one candidate."""
+    t = tmin + rr.astype(jnp.float32) * dt  # [T2]
+    y0 = oyv[0] + t * dyv[0]
+    y1 = oyv[1] + t * dyv[1]
+    y2 = oyv[2] + t * dyv[2]
+    fade = jnp.exp(
+        -fadescale
+        * (_pow_abs(y0, fadeexp) + _pow_abs(y1, fadeexp) + _pow_abs(y2, fadeexp))
+    )
+    inbox = (
+        (y0 >= -1.0) & (y0 <= 1.0)
+        & (y1 >= -1.0) & (y1 <= 1.0)
+        & (y2 >= -1.0) & (y2 <= 1.0)
+    )
+    mask = (
+        inbox & seg & (t >= tin) & (t < tout) & (t >= tmin) & (t < tmax)
+    ).astype(jnp.float32)
+    return t, y0, y1, y2, fade, mask
 
 
 # ---------------------------------------------------------------------------
@@ -189,79 +264,28 @@ def _fwd_kernel(
     out_ref, acc,
     *, dt, fadescale, fadeexp, max_hit, nbuf, bs,
 ):
-    """Per-tile march. Candidate transforms arrive as packed affine matrices
-    (aff_ref[0, h]: rows 0..2 = R*diag(s), row 3 = -c @ (R*diag(s)); columns
-    beyond 3 are zero padding for lane alignment). Invalid candidates carry a
-    zero matrix with b far outside the box, so their slab interval is empty
-    and the row loop runs zero iterations — no scalar control flow needed.
-
-    acc: [4, nbuf, T2] scratch — rows are step indices (t = tmin + r*dt per
-    ray), channel 3 is density, 0:3 premultiplied color. Row-major step axis
-    means each accumulation writes a full [T2]-lane vector.
-    """
     t2 = o_ref.shape[1]
-    o = o_ref[0]  # [T2, 3]
-    d = d_ref[0]
+    ox, oy, oz = o_ref[0, :, 0], o_ref[0, :, 1], o_ref[0, :, 2]
+    dx, dy, dz = d_ref[0, :, 0], d_ref[0, :, 1], d_ref[0, :, 2]
     tmin = mm_ref[0, :, 0]
     tmax = mm_ref[0, :, 1]
 
     acc[...] = jnp.zeros_like(acc)
 
     def prim_body(hh, _):
-        m = aff_ref[0, hh]  # [8, 128]
-        a_rows = m[0:3, :]  # [3, 128]
-        b_row = m[3, :]  # [128]
-        # y(t) = (o + t d) @ A + b  ==  oa + t * da   (lanes 0..2 hold y)
-        oa = jnp.dot(o, a_rows, preferred_element_type=jnp.float32) + b_row[None, :]
-        da = jnp.dot(d, a_rows, preferred_element_type=jnp.float32)
-        oy0, oy1, oy2 = oa[:, 0], oa[:, 1], oa[:, 2]
-        dy0, dy1, dy2 = da[:, 0], da[:, 1], da[:, 2]
-
-        def axis_range(oc, dc):
-            dc = jnp.where(jnp.abs(dc) < 1e-9,
-                           jnp.where(dc >= 0, 1e-9, -1e-9), dc)
-            t1 = (-1.0 - oc) / dc
-            t2_ = (1.0 - oc) / dc
-            return jnp.minimum(t1, t2_), jnp.maximum(t1, t2_)
-
-        a0, b0 = axis_range(oy0, dy0)
-        a1, b1 = axis_range(oy1, dy1)
-        a2, b2 = axis_range(oy2, dy2)
-        tin = jnp.maximum(jnp.maximum(jnp.maximum(a0, a1), a2), tmin)
-        tout = jnp.minimum(jnp.minimum(jnp.minimum(b0, b1), b2), tmax)
-        seg = tin < tout
-
-        # Tile-coherent step-row range (per-ray masks keep it exact).
-        kin = jnp.floor((tin - tmin) / dt) - 1.0
-        kout = jnp.ceil((tout - tmin) / dt) + 1.0
-        r0 = jnp.maximum(jnp.min(jnp.where(seg, kin, jnp.float32(nbuf))), 0.0)
-        r1 = jnp.minimum(jnp.max(jnp.where(seg, kout, 0.0)), float(nbuf))
-        r0i = r0.astype(jnp.int32)
-        r1i = r1.astype(jnp.int32)
-
-        box2d = boxes_ref[0, hh]  # [bs*bs, bs*4]
+        m = aff_ref[0, hh]
+        oyv, dyv, tin, tout, seg, (r0i, r1i) = _prim_setup(
+            m, ox, oy, oz, dx, dy, dz, tmin, tmax, dt, nbuf
+        )
+        box2d = boxes_ref[0, hh]
 
         def row_body(rr, _):
-            t = tmin + rr.astype(jnp.float32) * dt  # [T2]
-            y0 = oy0 + t * dy0
-            y1 = oy1 + t * dy1
-            y2 = oy2 + t * dy2
-            fade = jnp.exp(
-                -fadescale
-                * (jnp.abs(y0) ** fadeexp
-                   + jnp.abs(y1) ** fadeexp
-                   + jnp.abs(y2) ** fadeexp)
+            _, y0, y1, y2, fade, mask = _row_state(
+                ox, oy, oz, dx, dy, dz, tmin, tmax, oyv, dyv, tin, tout, seg,
+                rr, dt, fadescale, fadeexp,
             )
-            inbox = (
-                (y0 >= -1.0) & (y0 <= 1.0)
-                & (y1 >= -1.0) & (y1 <= 1.0)
-                & (y2 >= -1.0) & (y2 <= 1.0)
-            )
-            mask = (
-                inbox & seg & (t >= tin) & (t < tout) & (t >= tmin) & (t < tmax)
-            ).astype(jnp.float32)
-            sample = _sample_box(box2d, y0, y1, y2, bs)
-            u = fade * dt * mask  # [T2]
+            sample, *_ = _sample_parts(box2d, y0, y1, y2, bs)
+            u = fade * dt * mask
             a = sample[:, 3] * u
             acc[3, rr, :] += a
             acc[0, rr, :] += a * sample[:, 0]
@@ -274,7 +298,6 @@ def _fwd_kernel(
 
     jax.lax.fori_loop(0, max_hit, prim_body, 0)
 
-    # Saturating composite over step rows (sequential scan, NBUF small).
     def comp_body(rr, carry):
         cum, rgb0, rgb1, rgb2 = carry
         a = acc[3, rr, :]
@@ -289,88 +312,386 @@ def _fwd_kernel(
         )
 
     zero = jnp.zeros((t2,), jnp.float32)
-    cum, rgb0, rgb1, rgb2 = jax.lax.fori_loop(
-        0, nbuf, comp_body, (zero, zero, zero, zero)
-    )
+    cum, rgb0, rgb1, rgb2 = jax.lax.fori_loop(0, nbuf, comp_body, (zero,) * 4)
     out_ref[0, :, 0] = rgb0
     out_ref[0, :, 1] = rgb1
     out_ref[0, :, 2] = rgb2
     out_ref[0, :, 3] = jnp.minimum(cum, 1.0)
 
 
-def _forward_pallas(
-    t_o, t_d, t_mm, cand_gid, cand_valid,
-    primpos, primrot, primscale, template,
-    dt, fadescale, fadeexp, max_hit, nbuf, interpret,
+# ---------------------------------------------------------------------------
+# Backward kernel
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(
+    gid_ref,  # scalar-prefetch: [NT, MH] int32 (-1 = invalid)
+    o_ref, d_ref, mm_ref, aff_ref, boxes_ref, g_ref, gbox_in, gaff_in,
+    gbox_out, gaff_out, acc, comp, dbox, daff, stage_box, stage_aff, sems,
+    *, dt, fadescale, fadeexp, max_hit, nbuf, bs,
 ):
-    ntiles, tsz = t_o.shape[0], t_o.shape[1]
-    n, K = primpos.shape[0], primpos.shape[1]
-    bs = template.shape[2]
+    """See module docstring. gbox/gaff are HBM accumulators aliased
+    input->output; the sequential tile grid makes read-modify-write safe."""
+    del gbox_in, gaff_in  # aliased to the outputs; accessed via *_out refs
+    tile_i = pl.program_id(0)
+    t2 = o_ref.shape[1]
+    ox, oy, oz = o_ref[0, :, 0], o_ref[0, :, 1], o_ref[0, :, 2]
+    dx, dy, dz = d_ref[0, :, 0], d_ref[0, :, 1], d_ref[0, :, 2]
+    tmin = mm_ref[0, :, 0]
+    tmax = mm_ref[0, :, 1]
+    g0, g1, g2, g3 = g_ref[0, :, 0], g_ref[0, :, 1], g_ref[0, :, 2], g_ref[0, :, 3]
 
-    fp_pos = primpos.reshape(n * K, 3)
-    fp_rot = primrot.reshape(n * K, 9)
-    fp_scale = primscale.reshape(n * K, 3)
-    # rows = z*bs+y, cols = x*4+c
-    fp_box = template.reshape(n * K, bs * bs, bs * 4)
+    # ---- phase A: rebuild the density/color step buffers ----
+    acc[...] = jnp.zeros_like(acc)
 
-    mh = cand_gid.shape[1]  # = min(max_hit, K)
-    c_pos = fp_pos[cand_gid]  # [NT, MH, 3]
-    c_rot = fp_rot[cand_gid].reshape(ntiles, mh, 3, 3)
-    c_scale = fp_scale[cand_gid]
-    c_box = fp_box[cand_gid]  # [NT, MH, bs^2, bs*4]
+    def prim_fwd(hh, _):
+        m = aff_ref[0, hh]
+        oyv, dyv, tin, tout, seg, (r0i, r1i) = _prim_setup(
+            m, ox, oy, oz, dx, dy, dz, tmin, tmax, dt, nbuf
+        )
+        box2d = boxes_ref[0, hh]
 
-    # Packed affine transform per candidate: A = R * diag(s), b = -c @ A.
-    # Invalid candidates get A = 0, b = 4 (outside the box) so their slab
-    # interval is empty inside the kernel.
-    A = c_rot * c_scale[:, :, None, :]  # [NT, MH, 3, 3]
-    b = -jnp.einsum("tmi,tmij->tmj", c_pos, A)
-    valid_f = cand_valid.astype(jnp.float32)[..., None]
-    A = A * valid_f[..., None]
-    b = b * valid_f + (1.0 - valid_f) * 4.0
-    aff = jnp.zeros((ntiles, mh, 8, 128), jnp.float32)
-    aff = aff.at[:, :, 0:3, 0:3].set(A)
-    aff = aff.at[:, :, 3, 0:3].set(b)
+        def row_body(rr, _):
+            _, y0, y1, y2, fade, mask = _row_state(
+                ox, oy, oz, dx, dy, dz, tmin, tmax, oyv, dyv, tin, tout, seg,
+                rr, dt, fadescale, fadeexp,
+            )
+            sample, *_ = _sample_parts(box2d, y0, y1, y2, bs)
+            u = fade * dt * mask
+            a = sample[:, 3] * u
+            acc[3, rr, :] += a
+            acc[0, rr, :] += a * sample[:, 0]
+            acc[1, rr, :] += a * sample[:, 1]
+            acc[2, rr, :] += a * sample[:, 2]
+            return 0
 
-    kernel = partial(
-        _fwd_kernel, dt=dt, fadescale=fadescale, fadeexp=fadeexp,
-        max_hit=mh, nbuf=nbuf, bs=bs,
+        jax.lax.fori_loop(r0i, r1i, row_body, 0)
+        return 0
+
+    jax.lax.fori_loop(0, max_hit, prim_fwd, 0)
+
+    # ---- phase B: composite cotangents per row ----
+    # forward scan: store contrib/a ("cscale") and post-row cumulative density
+    def comp_fwd(rr, cum):
+        a = acc[3, rr, :]
+        new = cum + a
+        contrib = jnp.minimum(new, 1.0) - jnp.minimum(cum, 1.0)
+        comp[0, rr, :] = contrib / jnp.maximum(a, 1e-12)
+        comp[1, rr, :] = new
+        return new
+
+    cum_final = jax.lax.fori_loop(
+        0, nbuf, comp_fwd, jnp.zeros((t2,), jnp.float32)
     )
+    q_final = (cum_final < 1.0).astype(jnp.float32)
 
-    def bspec(block):
-        return pl.BlockSpec(block, lambda i: (i,) + (0,) * (len(block) - 1))
+    # reverse scan: dL/da_r = -cscale_r * w_r + rev_r + g_a * q_final where
+    # w_r = (g . c_r) / a_r and rev_r = sum_{p>=r} q_p (w_p - w_{p+1}).
+    def comp_rev(i, carry):
+        rev, w_next = carry
+        rr = nbuf - 1 - i
+        a = acc[3, rr, :]
+        w = (
+            g0 * acc[0, rr, :] + g1 * acc[1, rr, :] + g2 * acc[2, rr, :]
+        ) / jnp.maximum(a, 1e-12)
+        q = (comp[1, rr, :] < 1.0).astype(jnp.float32)
+        rev = rev + q * (w - w_next)
+        comp[1, rr, :] = -comp[0, rr, :] * w + rev + g3 * q_final
+        return rev, w
 
-    out = pl.pallas_call(
+    zero = jnp.zeros((t2,), jnp.float32)
+    jax.lax.fori_loop(0, nbuf, comp_rev, (zero, zero))
+
+    # ---- phase C: re-march, chain per-sample cotangents, accumulate ----
+    colzy = jax.lax.broadcasted_iota(jnp.int32, (t2, bs * bs), 1)
+    zcol = (colzy // bs).astype(jnp.float32)
+    ycol = (colzy % bs).astype(jnp.float32)
+    colx = jax.lax.broadcasted_iota(jnp.int32, (t2, bs * 4), 1)
+    xcol = (colx // 4).astype(jnp.float32)
+    half = 0.5 * (bs - 1)
+
+    def prim_bwd(hh, _):
+        gid = gid_ref[tile_i, hh]
+
+        @pl.when(gid >= 0)
+        def _():
+            m = aff_ref[0, hh]
+            oyv, dyv, tin, tout, seg, (r0i, r1i) = _prim_setup(
+                m, ox, oy, oz, dx, dy, dz, tmin, tmax, dt, nbuf
+            )
+            box2d = boxes_ref[0, hh]
+            dbox[...] = jnp.zeros_like(dbox)
+            daff[...] = jnp.zeros_like(daff)
+
+            def row_body(rr, _):
+                t, y0, y1, y2, fade, mask = _row_state(
+                    ox, oy, oz, dx, dy, dz, tmin, tmax, oyv, dyv, tin, tout,
+                    seg, rr, dt, fadescale, fadeexp,
+                )
+                fx = (y0 + 1.0) * half + 0.0
+                fy = (y1 + 1.0) * half
+                fz = (y2 + 1.0) * half
+                wzy = _axis_onehot(zcol, fz) * _axis_onehot(ycol, fy)
+                tmp = jnp.dot(wzy, box2d, preferred_element_type=jnp.float32)
+                wx32 = _axis_onehot(xcol, fx)
+                prod = wx32 * tmp
+                sample = prod[:, 0:4]
+                for x in range(1, bs):
+                    sample = sample + prod[:, 4 * x : 4 * x + 4]
+
+                u = fade * dt * mask
+                A_s = sample[:, 3]
+                da_r = comp[1, rr, :]
+                csc = comp[0, rr, :]
+                dldc0, dldc1, dldc2 = g0 * csc, g1 * csc, g2 * csc
+                rgb_dot = (
+                    dldc0 * sample[:, 0] + dldc1 * sample[:, 1] + dldc2 * sample[:, 2]
+                )
+                dS0 = dldc0 * A_s * u
+                dS1 = dldc1 * A_s * u
+                dS2 = dldc2 * A_s * u
+                dS3 = (da_r + rgb_dot) * u
+                g_u = (da_r + rgb_dot) * A_s  # dL/du
+
+                dS = jnp.stack([dS0, dS1, dS2, dS3], axis=-1)  # [T2, 4]
+                dS_tiled = jnp.concatenate([dS] * bs, axis=1)  # [T2, bs*4]
+                dtmp = wx32 * dS_tiled
+                # template gradient: dbox += wzy^T @ dtmp
+                dbox[:, 0 : bs * 4] += jax.lax.dot_general(
+                    wzy, dtmp, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                # dL/dwzy = dtmp @ box2d^T
+                dwzy = jax.lax.dot_general(
+                    dtmp, box2d, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                # dL/dfx from the x-interp; dfy/dfz from the (z,y) plane
+                prod2 = tmp * dS_tiled
+                dfx = jnp.sum(_axis_onehot_diff(xcol, fx) * prod2, axis=1)
+                dfy = jnp.sum(
+                    _axis_onehot(zcol, fz) * _axis_onehot_diff(ycol, fy) * dwzy, axis=1
+                )
+                dfz = jnp.sum(
+                    _axis_onehot_diff(zcol, fz) * _axis_onehot(ycol, fy) * dwzy, axis=1
+                )
+                # fade path: dfade = g_u * dt * mask; dfade/dy = -fs*fe*|y|^(fe-1)*sign(y)*fade
+                dfade = g_u * dt * mask
+                c = -fadescale * fadeexp
+                dy0f = dfade * fade * c * _pow_abs(y0, fadeexp - 1) * jnp.sign(y0)
+                dy1f = dfade * fade * c * _pow_abs(y1, fadeexp - 1) * jnp.sign(y1)
+                dy2f = dfade * fade * c * _pow_abs(y2, fadeexp - 1) * jnp.sign(y2)
+                dy0 = dfx * half + dy0f
+                dy1 = dfy * half + dy1f
+                dy2 = dfz * half + dy2f
+
+                # affine gradient: y = pos @ A + b; daff[0:3] += pos^T dy,
+                # daff[3] += sum(dy). Use an augmented [T2, 4] position.
+                posx = ox + dx * t
+                posy = oy + dy * t
+                posz = oz + dz * t
+                pos4 = jnp.stack([posx, posy, posz, jnp.ones_like(posx)], axis=-1)
+                dyv3 = jnp.stack([dy0, dy1, dy2], axis=-1)  # [T2, 3]
+                daff[0:4, 0:3] += jax.lax.dot_general(
+                    pos4, dyv3, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                return 0
+
+            jax.lax.fori_loop(r0i, r1i, row_body, 0)
+
+            # Read-modify-write the global accumulators for this primitive.
+            cp1 = pltpu.make_async_copy(gbox_out.at[gid], stage_box, sems.at[0])
+            cp1.start()
+            cp1.wait()
+            stage_box[...] += dbox[...]
+            cp2 = pltpu.make_async_copy(stage_box, gbox_out.at[gid], sems.at[0])
+            cp2.start()
+            cp2.wait()
+
+            cp3 = pltpu.make_async_copy(gaff_out.at[gid], stage_aff, sems.at[1])
+            cp3.start()
+            cp3.wait()
+            stage_aff[...] += daff[...]
+            cp4 = pltpu.make_async_copy(stage_aff, gaff_out.at[gid], sems.at[1])
+            cp4.start()
+            cp4.wait()
+
+        return 0
+
+    jax.lax.fori_loop(0, max_hit, prim_bwd, 0)
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers
+# ---------------------------------------------------------------------------
+
+
+def _bspec(block):
+    return pl.BlockSpec(block, lambda i, *_refs: (i,) + (0,) * (len(block) - 1))
+
+
+def _forward_pallas(t_o, t_d, t_mm, aff, c_box, cfg):
+    ntiles, tsz = t_o.shape[0], t_o.shape[1]
+    mh, bs = aff.shape[1], cfg["bs"]
+    kernel = partial(
+        _fwd_kernel, dt=cfg["dt"], fadescale=cfg["fadescale"],
+        fadeexp=cfg["fadeexp"], max_hit=mh, nbuf=cfg["nbuf"], bs=bs,
+    )
+    return pl.pallas_call(
         kernel,
         grid=(ntiles,),
         in_specs=[
-            bspec((1, tsz, 3)),
-            bspec((1, tsz, 3)),
-            bspec((1, tsz, 2)),
-            bspec((1, mh, 8, 128)),
-            bspec((1, mh, bs * bs, bs * 4)),
+            _bspec((1, tsz, 3)),
+            _bspec((1, tsz, 3)),
+            _bspec((1, tsz, 2)),
+            _bspec((1, mh, 8, 128)),
+            _bspec((1, mh, bs * bs, bs * 4)),
         ],
-        out_specs=bspec((1, tsz, 4)),
+        out_specs=_bspec((1, tsz, 4)),
         out_shape=jax.ShapeDtypeStruct((ntiles, tsz, 4), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((4, nbuf, tsz), jnp.float32),
-        ],
-        interpret=interpret,
+        scratch_shapes=[pltpu.VMEM((4, cfg["nbuf"], tsz), jnp.float32)],
+        interpret=cfg["interpret"],
     )(t_o, t_d, t_mm, aff, c_box)
-    return out
 
 
-# ------    return out
+def _backward_pallas(gid_sp, t_o, t_d, t_mm, aff, c_box, g_tiles, nk, cfg):
+    ntiles, tsz = t_o.shape[0], t_o.shape[1]
+    mh, bs = aff.shape[1], cfg["bs"]
+    nbuf = cfg["nbuf"]
+    kernel = partial(
+        _bwd_kernel, dt=cfg["dt"], fadescale=cfg["fadescale"],
+        fadeexp=cfg["fadeexp"], max_hit=mh, nbuf=nbuf, bs=bs,
+    )
+    gbox0 = jnp.zeros((nk, bs * bs, 128), jnp.float32)
+    gaff0 = jnp.zeros((nk, 8, 128), jnp.float32)
 
-
-# ------    return out
-
-
-# ------    return out
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ntiles,),
+        in_specs=[
+            _bspec((1, tsz, 3)),
+            _bspec((1, tsz, 3)),
+            _bspec((1, tsz, 2)),
+            _bspec((1, mh, 8, 128)),
+            _bspec((1, mh, bs * bs, bs * 4)),
+            _bspec((1, tsz, 4)),
+            pl.BlockSpec(memory_space=pltpu.HBM),  # gbox accumulator
+            pl.BlockSpec(memory_space=pltpu.HBM),  # gaff accumulator
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((4, nbuf, tsz), jnp.float32),  # acc
+            pltpu.VMEM((2, nbuf, tsz), jnp.float32),  # comp (cscale, da)
+            pltpu.VMEM((bs * bs, 128), jnp.float32),  # dbox (lane-padded)
+            pltpu.VMEM((8, 128), jnp.float32),  # daff
+            pltpu.VMEM((bs * bs, 128), jnp.float32),  # stage_box (lane-padded)
+            pltpu.VMEM((8, 128), jnp.float32),  # stage_aff
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    gbox, gaff = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((nk, bs * bs, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nk, 8, 128), jnp.float32),
+        ),
+        input_output_aliases={7: 0, 8: 1},  # gbox0, gaff0 (after prefetch arg)
+        interpret=cfg["interpret"],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",), has_side_effects=True
+        ),
+    )(gid_sp, t_o, t_d, t_mm, aff, c_box, g_tiles, gbox0, gaff0)
+    return gbox, gaff
 
 
 # ---------------------------------------------------------------------------
-# Public entry point (forward-only for now; backward via XLA recompute VJP)
+# custom VJP plumbing
 # ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _make_raymarch(cfg_key):
+    cfg = dict(cfg_key)
+
+    @jax.custom_vjp
+    def march(raypos, raydir, tminmax, primpos, primrot, primscale, template):
+        out, _ = _fwd(raypos, raydir, tminmax, primpos, primrot, primscale, template)
+        return out
+
+    def _fwd(raypos, raydir, tminmax, primpos, primrot, primscale, template):
+        n, K = primpos.shape[0], primpos.shape[1]
+        bs = template.shape[2]
+        t_o, t_d, t_mm, cand_gid, cand_valid, meta = _tile_and_cull(
+            raypos, raydir, tminmax,
+            jax.lax.stop_gradient(primpos), jax.lax.stop_gradient(primscale),
+            cfg["tile"], cfg["max_hit"], cfg["dt"],
+        )
+        mh = cand_gid.shape[1]
+        fp_pos = primpos.reshape(n * K, 3)
+        fp_rot = primrot.reshape(n * K, 9)
+        fp_scale = primscale.reshape(n * K, 3)
+        fp_box = template.reshape(n * K, bs * bs, bs * 4)
+        aff, c_box = _gather_and_pack(
+            fp_pos, fp_rot, fp_scale, fp_box, cand_gid, cand_valid, mh, bs
+        )
+        out_tiles = _forward_pallas(t_o, t_d, t_mm, aff, c_box, {**cfg, "bs": bs})
+        out = _untile(out_tiles, meta, cfg["tile"])
+        res = (t_o, t_d, t_mm, cand_gid, cand_valid, aff, c_box,
+               primpos, primrot, primscale, meta)
+        return out, res
+
+    def _bwd(res, g):
+        (t_o, t_d, t_mm, cand_gid, cand_valid, aff, c_box,
+         primpos, primrot, primscale, meta) = res
+        n, K = primpos.shape[0], primpos.shape[1]
+        bs = c_box.shape[-1] // 4
+        tile = cfg["tile"]
+
+        # Tile the incoming cotangent exactly like the forward inputs.
+        gp = jnp.zeros((n, meta["hp"], meta["wp"], 4), g.dtype)
+        gp = gp.at[:, : meta["h"], : meta["w"], :].set(g)
+        g_tiles = (
+            gp.reshape(n, meta["nty"], tile, meta["ntx"], tile, 4)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(meta["ntiles"], tile * tile, 4)
+        ).astype(jnp.float32)
+
+        gid_sp = jnp.where(cand_valid, cand_gid, -1).astype(jnp.int32)
+        gbox, gaff = _backward_pallas(
+            gid_sp, t_o, t_d, t_mm, aff, c_box, g_tiles, n * K, {**cfg, "bs": bs}
+        )
+
+        d_template = gbox[:, :, 0 : bs * 4].reshape(n, K, bs, bs, bs, 4)
+        dA = gaff[:, 0:3, 0:3].reshape(n, K, 3, 3)
+        db = gaff[:, 3, 0:3].reshape(n, K, 3)
+        _, pack_vjp = jax.vjp(_pack_affine, primpos, primrot, primscale)
+        d_pos, d_rot, d_scale = pack_vjp((dA, db))
+        zeros = (
+            jnp.zeros_like(t_o).sum() * 0,
+        )  # placeholder not used
+        del zeros
+        return (
+            jnp.zeros((meta["n"], meta["h"], meta["w"], 3), jnp.float32),
+            jnp.zeros((meta["n"], meta["h"], meta["w"], 3), jnp.float32),
+            jnp.zeros((meta["n"], meta["h"], meta["w"], 2), jnp.float32),
+            d_pos, d_rot, d_scale, d_template,
+        )
+
+    march.defvjp(_fwd, _bwd)
+    return march
+
+
+def mvp_raymarch_pallas(*args, interpret=None, **kwargs):
+    """Dispatcher: runs the Mosaic kernels on TPU, the Pallas interpreter
+    elsewhere (CPU tests / virtual meshes)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _mvp_raymarch_pallas_jit(*args, interpret=interpret, **kwargs)
 
 
 @partial(
@@ -379,7 +700,7 @@ def _forward_pallas(
         "stepsize", "fadescale", "fadeexp", "tile", "max_hit", "nbuf", "interpret",
     ),
 )
-def mvp_raymarch_pallas(
+def _mvp_raymarch_pallas_jit(
     raypos: jnp.ndarray,
     raydir: jnp.ndarray,
     stepsize: float,
@@ -402,13 +723,15 @@ def mvp_raymarch_pallas(
             "warp fields are supported by the xla backend; the training path "
             "never emits warps (reference assembler returns none)"
         )
-    dt = stepsize
-    t_o, t_d, t_mm, cand_gid, cand_valid, meta = _tile_and_cull(
-        raypos, raydir, tminmax, primpos, primscale, tile, max_hit, dt
+    primrot = primrot.reshape(primrot.shape[0], primrot.shape[1], 3, 3)
+    cfg_key = tuple(
+        sorted(
+            dict(
+                dt=float(stepsize), fadescale=float(fadescale),
+                fadeexp=float(fadeexp), tile=int(tile), max_hit=int(max_hit),
+                nbuf=int(nbuf), interpret=bool(interpret),
+            ).items()
+        )
     )
-    out = _forward_pallas(
-        t_o, t_d, t_mm, cand_gid, cand_valid,
-        primpos, primrot, primscale, template,
-        dt, fadescale, fadeexp, max_hit, nbuf, interpret,
-    )
-    return _untile(out, meta, tile)
+    march = _make_raymarch(cfg_key)
+    return march(raypos, raydir, tminmax, primpos, primrot, primscale, template)
