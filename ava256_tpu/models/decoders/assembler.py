@@ -64,7 +64,11 @@ class DecoderAssembler(nn.Module):
         self.stride = posmap_res // nh
 
         imsize = nh * self.primsize[1]
-        self.rgbdec = RGBDecoder(
+        # Rematerialize the deconv towers in the backward pass: their 1024^2
+        # activations dominate HBM otherwise.
+        RGBDecoderR = nn.remat(RGBDecoder)
+        GeometryDecoderR = nn.remat(GeometryDecoder)
+        self.rgbdec = RGBDecoderR(
             imsize=imsize,
             nboxes=self.nprims,
             boxsize=self.primsize[0],
@@ -73,7 +77,7 @@ class DecoderAssembler(nn.Module):
             dtype=self.dtype,
         )
         motion_size = {256: 16, 16384: 128}.get(self.nprims, nh)
-        self.geodec = GeometryDecoder(
+        self.geodec = GeometryDecoderR(
             uv=self.vt,
             tri=self.vi,
             uvtri=self.vti,

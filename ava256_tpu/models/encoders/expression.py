@@ -58,13 +58,14 @@ class ExpressionEncoder(nn.Module):
         geo_img = generate_geomap(verts - neut_verts, uv_tidx, uv_bary)
         tex_img = avgtex - neut_avgtex
 
-        tex = ConvSeq(
+        ConvSeqR = nn.remat(ConvSeq)
+        tex = ConvSeqR(
             [_conv(16 * C), _conv(32 * C), _conv(64 * C)],
             final_activation=True,
             dtype=self.dtype,
             name="tex",
         )(tex_img)
-        geo = ConvSeq(
+        geo = ConvSeqR(
             [_conv(16 * C), _conv(32 * C), _conv(32 * C)],
             final_activation=True,
             dtype=self.dtype,
@@ -81,7 +82,7 @@ class ExpressionEncoder(nn.Module):
         if n_down < 1 or 2 ** (n_down + 5) != imsize:
             raise ValueError(f"Unsupported image size: {imsize}")
         lead = [128 * C, 256 * C, 256 * C, 512 * C][: n_down - 1]
-        comb = ConvSeq(
+        comb = ConvSeqR(
             [_conv(ch) for ch in lead]
             + [
                 _conv(256 * C, k=3, s=1, p=1),

@@ -136,8 +136,9 @@ class IdentityEncoder(nn.Module):
             neut_verts, jnp.asarray(self.uv_tidx), jnp.asarray(self.uv_bary)
         )
 
-        z_geo, b_geo = UnetEncoder(dtype=self.dtype, name="geo")(geo_img)
-        z_tex, b_tex = UnetEncoder(dtype=self.dtype, name="tex")(neut_avgtex)
+        UnetEncoderR = nn.remat(UnetEncoder)
+        z_geo, b_geo = UnetEncoderR(dtype=self.dtype, name="geo")(geo_img)
+        z_tex, b_tex = UnetEncoderR(dtype=self.dtype, name="tex")(neut_avgtex)
         b_geo, b_tex = GeoTexCombiner(dtype=self.dtype, name="comb")(b_geo, b_tex)
 
         # Learned warp: identity grid + trainable bias (scaled by 1/wsize).

@@ -552,10 +552,16 @@ def _forward_pallas(t_o, t_d, t_mm, aff, c_box, cfg):
         out_shape=jax.ShapeDtypeStruct((ntiles, tsz, 4), jnp.float32),
         scratch_shapes=[pltpu.VMEM((4, cfg["nbuf"], tsz), jnp.float32)],
         interpret=cfg["interpret"],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
     )(t_o, t_d, t_mm, aff, c_box)
 
 
 def _backward_pallas(gid_sp, t_o, t_d, t_mm, aff, c_box, g_tiles, nk, cfg):
+    """Runs the backward kernel over tile chunks (the scalar-prefetched gid
+    table must fit SMEM), threading the HBM gradient accumulators through the
+    chunk calls by input/output aliasing."""
     ntiles, tsz = t_o.shape[0], t_o.shape[1]
     mh, bs = aff.shape[1], cfg["bs"]
     nbuf = cfg["nbuf"]
@@ -563,49 +569,64 @@ def _backward_pallas(gid_sp, t_o, t_d, t_mm, aff, c_box, g_tiles, nk, cfg):
         _bwd_kernel, dt=cfg["dt"], fadescale=cfg["fadescale"],
         fadeexp=cfg["fadeexp"], max_hit=mh, nbuf=nbuf, bs=bs,
     )
-    gbox0 = jnp.zeros((nk, bs * bs, 128), jnp.float32)
-    gaff0 = jnp.zeros((nk, 8, 128), jnp.float32)
+    gbox = jnp.zeros((nk, bs * bs, 128), jnp.float32)
+    gaff = jnp.zeros((nk, 8, 128), jnp.float32)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(ntiles,),
-        in_specs=[
-            _bspec((1, tsz, 3)),
-            _bspec((1, tsz, 3)),
-            _bspec((1, tsz, 2)),
-            _bspec((1, mh, 8, 128)),
-            _bspec((1, mh, bs * bs, bs * 4)),
-            _bspec((1, tsz, 4)),
-            pl.BlockSpec(memory_space=pltpu.HBM),  # gbox accumulator
-            pl.BlockSpec(memory_space=pltpu.HBM),  # gaff accumulator
-        ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((4, nbuf, tsz), jnp.float32),  # acc
-            pltpu.VMEM((2, nbuf, tsz), jnp.float32),  # comp (cscale, da)
-            pltpu.VMEM((bs * bs, 128), jnp.float32),  # dbox (lane-padded)
-            pltpu.VMEM((8, 128), jnp.float32),  # daff
-            pltpu.VMEM((bs * bs, 128), jnp.float32),  # stage_box (lane-padded)
-            pltpu.VMEM((8, 128), jnp.float32),  # stage_aff
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-    gbox, gaff = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((nk, bs * bs, 128), jnp.float32),
-            jax.ShapeDtypeStruct((nk, 8, 128), jnp.float32),
-        ),
-        input_output_aliases={7: 0, 8: 1},  # gbox0, gaff0 (after prefetch arg)
-        interpret=cfg["interpret"],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",), has_side_effects=True
-        ),
-    )(gid_sp, t_o, t_d, t_mm, aff, c_box, g_tiles, gbox0, gaff0)
+    # SMEM holds ~1MB of prefetched scalars; keep each chunk's gid table small.
+    chunk = max(1, min(ntiles, (256 * 1024) // (mh * 4)))
+    nchunks = -(-ntiles // chunk)
+
+    def call(args):
+        gid_c, o_c, d_c, mm_c, aff_c, box_c, g_c, gbox_c, gaff_c = args
+        nt_c = o_c.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nt_c,),
+            in_specs=[
+                _bspec((1, tsz, 3)),
+                _bspec((1, tsz, 3)),
+                _bspec((1, tsz, 2)),
+                _bspec((1, mh, 8, 128)),
+                _bspec((1, mh, bs * bs, bs * 4)),
+                _bspec((1, tsz, 4)),
+                pl.BlockSpec(memory_space=pltpu.HBM),  # gbox accumulator
+                pl.BlockSpec(memory_space=pltpu.HBM),  # gaff accumulator
+            ],
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((4, nbuf, tsz), jnp.float32),  # acc
+                pltpu.VMEM((2, nbuf, tsz), jnp.float32),  # comp (cscale, da)
+                pltpu.VMEM((bs * bs, 128), jnp.float32),  # dbox (lane-padded)
+                pltpu.VMEM((8, 128), jnp.float32),  # daff
+                pltpu.VMEM((bs * bs, 128), jnp.float32),  # stage_box (lane-padded)
+                pltpu.VMEM((8, 128), jnp.float32),  # stage_aff
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=(
+                jax.ShapeDtypeStruct((nk, bs * bs, 128), jnp.float32),
+                jax.ShapeDtypeStruct((nk, 8, 128), jnp.float32),
+            ),
+            input_output_aliases={7: 0, 8: 1},
+            interpret=cfg["interpret"],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",), has_side_effects=True,
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+        )(gid_c, o_c, d_c, mm_c, aff_c, box_c, g_c, gbox_c, gaff_c)
+
+    for i in range(nchunks):
+        sl = slice(i * chunk, min((i + 1) * chunk, ntiles))
+        gbox, gaff = call(
+            (gid_sp[sl], t_o[sl], t_d[sl], t_mm[sl], aff[sl], c_box[sl],
+             g_tiles[sl], gbox, gaff)
+        )
     return gbox, gaff
 
 
@@ -641,16 +662,26 @@ def _make_raymarch(cfg_key):
         )
         out_tiles = _forward_pallas(t_o, t_d, t_mm, aff, c_box, {**cfg, "bs": bs})
         out = _untile(out_tiles, meta, cfg["tile"])
-        res = (t_o, t_d, t_mm, cand_gid, cand_valid, aff, c_box,
-               primpos, primrot, primscale, meta)
+        # residuals hold only the small culling results; the big per-tile
+        # gathers (aff, c_box) are rebuilt in the backward pass
+        res = (t_o, t_d, t_mm, cand_gid, cand_valid,
+               primpos, primrot, primscale, template, meta)
         return out, res
 
     def _bwd(res, g):
-        (t_o, t_d, t_mm, cand_gid, cand_valid, aff, c_box,
-         primpos, primrot, primscale, meta) = res
+        (t_o, t_d, t_mm, cand_gid, cand_valid,
+         primpos, primrot, primscale, template, meta) = res
         n, K = primpos.shape[0], primpos.shape[1]
-        bs = c_box.shape[-1] // 4
+        bs = template.shape[2]
         tile = cfg["tile"]
+        fp_pos = jax.lax.stop_gradient(primpos).reshape(n * K, 3)
+        fp_rot = jax.lax.stop_gradient(primrot).reshape(n * K, 9)
+        fp_scale = jax.lax.stop_gradient(primscale).reshape(n * K, 3)
+        fp_box = jax.lax.stop_gradient(template).reshape(n * K, bs * bs, bs * 4)
+        mh = cand_gid.shape[1]
+        aff, c_box = _gather_and_pack(
+            fp_pos, fp_rot, fp_scale, fp_box, cand_gid, cand_valid, mh, bs
+        )
 
         # Tile the incoming cotangent exactly like the forward inputs.
         gp = jnp.zeros((n, meta["hp"], meta["wp"], 4), g.dtype)
@@ -661,14 +692,27 @@ def _make_raymarch(cfg_key):
             .reshape(meta["ntiles"], tile * tile, 4)
         ).astype(jnp.float32)
 
-        gid_sp = jnp.where(cand_valid, cand_gid, -1).astype(jnp.int32)
-        gbox, gaff = _backward_pallas(
-            gid_sp, t_o, t_d, t_mm, aff, c_box, g_tiles, n * K, {**cfg, "bs": bs}
-        )
+        # One backward sweep per batch element keeps the HBM gradient
+        # accumulators at [K, ...] instead of [N*K, ...].
+        tpe = meta["ntiles"] // n  # tiles per image
+        gboxes, gaffs = [], []
+        for b in range(n):
+            sl = slice(b * tpe, (b + 1) * tpe)
+            gid_local = jnp.where(
+                cand_valid[sl], cand_gid[sl] - b * K, -1
+            ).astype(jnp.int32)
+            gbox_b, gaff_b = _backward_pallas(
+                gid_local, t_o[sl], t_d[sl], t_mm[sl], aff[sl], c_box[sl],
+                g_tiles[sl], K, {**cfg, "bs": bs}
+            )
+            gboxes.append(gbox_b)
+            gaffs.append(gaff_b)
+        gbox = jnp.stack(gboxes)  # [N, K, bs^2, 128]
+        gaff = jnp.stack(gaffs)  # [N, K, 8, 128]
 
-        d_template = gbox[:, :, 0 : bs * 4].reshape(n, K, bs, bs, bs, 4)
-        dA = gaff[:, 0:3, 0:3].reshape(n, K, 3, 3)
-        db = gaff[:, 3, 0:3].reshape(n, K, 3)
+        d_template = gbox[:, :, :, 0 : bs * 4].reshape(n, K, bs, bs, bs, 4)
+        dA = gaff[:, :, 0:3, 0:3]
+        db = gaff[:, :, 3, 0:3]
         _, pack_vjp = jax.vjp(_pack_affine, primpos, primrot, primscale)
         d_pos, d_rot, d_scale = pack_vjp((dA, db))
         zeros = (

@@ -41,6 +41,7 @@ from ava256_tpu.train.state import (
     restore_checkpoint,
     save_checkpoint,
 )
+from ava256_tpu.train.profiling import StepTimer, trace
 from ava256_tpu.train.step import BATCH_MODEL_KEYS, make_train_step
 from ava256_tpu.utils import render_img, setup_logging
 
@@ -183,6 +184,9 @@ def main():
     warmup = cfg.train.get("warmup_iters", 100)
     done = False
     lstart = time.time()
+    timer = StepTimer()
+    profile_at = cfg.progress.get("profile_at", -1)  # step to capture a trace
+    profile_dir = str(outpath / "profile")
 
     for epoch in range(cfg.train.num_epochs):
         if done:
@@ -196,14 +200,17 @@ def main():
 
             in_warmup = iternum < warmup
             rng, step_rng = jax.random.split(rng)
-            state, loss, terms = train_step(
-                state,
-                mb,
-                step_rng,
-                running_avg_scale=in_warmup,
-                use_gt_geo=in_warmup,
-                residuals_weight=0.0 if in_warmup else 1.0,
-            )
+            with trace(profile_dir if iternum == profile_at else None):
+                with timer.step():
+                    state, loss, terms = train_step(
+                        state,
+                        mb,
+                        step_rng,
+                        running_avg_scale=in_warmup,
+                        use_gt_geo=in_warmup,
+                        residuals_weight=0.0 if in_warmup else 1.0,
+                    )
+                    loss = jax.block_until_ready(loss)
 
             # ---- progress renders ----
             if (iternum < 10_000 and iternum % 100 == 0) or iternum % 1000 == 0:
@@ -234,11 +241,8 @@ def main():
             iternum += 1
             if iternum >= cfg.train.maxiter:
                 logger.info("Stopping at max iter %d", iternum)
-                np.save(
-                    outpath / f"timesinfo_r{host_id}",
-                    {"totaltime": time.time() - lstart, "maxiter": iternum},
-                    allow_pickle=True,
-                )
+                timer.save(str(outpath), rank=host_id)
+                logger.info("Timing: %s", timer.summary())
                 done = True
                 break
 
