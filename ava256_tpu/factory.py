@@ -10,6 +10,7 @@ from __future__ import annotations
 from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
+from flax import linen as nn
 
 from ava256_tpu.models.autoencoder import Autoencoder
 from ava256_tpu.models.bg import BackgroundModelSimple
@@ -72,6 +73,9 @@ def get_autoencoder(
         volradius, dt=1.0, backend=raymarch_backend, **(raymarch_options or {})
     )
 
+    # The background MLP runs at full image resolution with 256 channels;
+    # rematerialize it so its activations don't dominate HBM in the backward.
+    BgR = nn.remat(BackgroundModelSimple)
     return Autoencoder(
         identity_encoder=identity_encoder,
         expression_encoder=expression_encoder,
@@ -79,5 +83,5 @@ def get_autoencoder(
         decoder_assembler=decoder_assembler,
         raymarcher=raymarcher,
         colorcal=Colorcal(ncams, nident, dtype=dtype) if colorcal else None,
-        bgmodel=BackgroundModelSimple(ncams, nident, dtype=dtype) if bgmodel else None,
+        bgmodel=BgR(ncams, nident, dtype=dtype) if bgmodel else None,
     )

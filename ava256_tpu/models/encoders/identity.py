@@ -17,6 +17,7 @@ from typing import Any, Dict, List, Optional, Tuple, Union
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -150,13 +151,16 @@ class IdentityEncoder(nn.Module):
         )
         warp = identity_grid + bias / self.wsize
 
-        def apply_warp(level: jnp.ndarray) -> jnp.ndarray:
+        # Checkpointed: the grid-sample corner gathers at 512^2/1024^2
+        # otherwise pin several hundred MB of awkwardly-laid-out residuals.
+        @jax.checkpoint
+        def apply_warp(level: jnp.ndarray, warp: jnp.ndarray) -> jnp.ndarray:
             n, h, w = level.shape[0], level.shape[1], level.shape[2]
             grid = resize_bilinear(warp, (h, w))
             grid = jnp.broadcast_to(grid, (n, h, w, 2))
             return grid_sample_2d(level, grid, align_corners=False)
 
-        b_geo = [apply_warp(b) for b in b_geo]
-        b_tex = [apply_warp(b) for b in b_tex]
+        b_geo = [apply_warp(b, warp) for b in b_geo]
+        b_tex = [apply_warp(b, warp) for b in b_tex]
 
         return {"z_geo": z_geo, "z_tex": z_tex, "b_geo": b_geo, "b_tex": b_tex}

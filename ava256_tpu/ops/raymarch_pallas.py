@@ -211,25 +211,47 @@ def _prim_setup(m, ox, oy, oz, dx, dy, dz, tmin, tmax, dt, nbuf):
     )
 
 
-def _sample_parts(box2d, y0, y1, y2, bs):
-    """Trilinear sample; returns (sample [T2,4], wzy, tmp, wx32, fx, fy, fz)."""
+def _sample_box128(box128, y0, y1, y2, bs):
+    """Trilinear sample from a lane-native box layout.
+
+    box128: [bs^2/g, 128] where g = 128/(bs*4); flat element order is
+    (z*bs + y) * (bs*4) + (x*4 + c) — i.e. template.reshape(-1, 128). The
+    128-lane rows avoid all tiling padding in HBM/VMEM and in the gradient
+    accumulators. Sampling contracts over the zy axis with g small matmuls.
+
+    Returns (sample [T2,4], tmp [T2, bs*4], wzy_ms [g x [T2, R]], wx32, fx/fy/fz).
+    """
     t2 = y0.shape[0]
+    w4 = bs * 4
+    g = 128 // w4
+    r = (bs * bs) // g
     fx = (y0 + 1.0) * 0.5 * (bs - 1)
     fy = (y1 + 1.0) * 0.5 * (bs - 1)
     fz = (y2 + 1.0) * 0.5 * (bs - 1)
-    colzy = jax.lax.broadcasted_iota(jnp.int32, (t2, bs * bs), 1)
-    zcol = (colzy // bs).astype(jnp.float32)
-    ycol = (colzy % bs).astype(jnp.float32)
-    wzy = _axis_onehot(zcol, fz) * _axis_onehot(ycol, fy)  # [T2, bs^2]
-    tmp = jnp.dot(wzy, box2d, preferred_element_type=jnp.float32)  # [T2, bs*4]
-    colx = jax.lax.broadcasted_iota(jnp.int32, (t2, bs * 4), 1)
+
+    riota = jax.lax.broadcasted_iota(jnp.int32, (t2, r), 1)
+    tmp = None
+    wzy_ms = []
+    for m in range(g):
+        zy = g * riota + m
+        zcol = (zy // bs).astype(jnp.float32)
+        ycol = (zy % bs).astype(jnp.float32)
+        wzy_m = _axis_onehot(zcol, fz) * _axis_onehot(ycol, fy)  # [T2, R]
+        wzy_ms.append(wzy_m)
+        part = jnp.dot(
+            wzy_m, box128[:, m * w4 : (m + 1) * w4],
+            preferred_element_type=jnp.float32,
+        )
+        tmp = part if tmp is None else tmp + part  # [T2, bs*4]
+
+    colx = jax.lax.broadcasted_iota(jnp.int32, (t2, w4), 1)
     xcol = (colx // 4).astype(jnp.float32)
     wx32 = _axis_onehot(xcol, fx)
     prod = wx32 * tmp
     sample = prod[:, 0:4]
     for x in range(1, bs):
         sample = sample + prod[:, 4 * x : 4 * x + 4]
-    return sample, wzy, tmp, wx32, (zcol, ycol, xcol), (fx, fy, fz)
+    return sample, tmp, wzy_ms, wx32, (fx, fy, fz)
 
 
 def _row_state(ox, oy, oz, dx, dy, dz, tmin, tmax, oyv, dyv, tin, tout, seg,
@@ -284,7 +306,7 @@ def _fwd_kernel(
                 ox, oy, oz, dx, dy, dz, tmin, tmax, oyv, dyv, tin, tout, seg,
                 rr, dt, fadescale, fadeexp,
             )
-            sample, *_ = _sample_parts(box2d, y0, y1, y2, bs)
+            sample, *_ = _sample_box128(box2d, y0, y1, y2, bs)
             u = fade * dt * mask
             a = sample[:, 3] * u
             acc[3, rr, :] += a
@@ -356,7 +378,7 @@ def _bwd_kernel(
                 ox, oy, oz, dx, dy, dz, tmin, tmax, oyv, dyv, tin, tout, seg,
                 rr, dt, fadescale, fadeexp,
             )
-            sample, *_ = _sample_parts(box2d, y0, y1, y2, bs)
+            sample, *_ = _sample_box128(box2d, y0, y1, y2, bs)
             u = fade * dt * mask
             a = sample[:, 3] * u
             acc[3, rr, :] += a
@@ -403,11 +425,12 @@ def _bwd_kernel(
     jax.lax.fori_loop(0, nbuf, comp_rev, (zero, zero))
 
     # ---- phase C: re-march, chain per-sample cotangents, accumulate ----
-    colzy = jax.lax.broadcasted_iota(jnp.int32, (t2, bs * bs), 1)
-    zcol = (colzy // bs).astype(jnp.float32)
-    ycol = (colzy % bs).astype(jnp.float32)
-    colx = jax.lax.broadcasted_iota(jnp.int32, (t2, bs * 4), 1)
+    w4 = bs * 4
+    g_per = 128 // w4
+    nrow = (bs * bs) // g_per
+    colx = jax.lax.broadcasted_iota(jnp.int32, (t2, w4), 1)
     xcol = (colx // 4).astype(jnp.float32)
+    riota = jax.lax.broadcasted_iota(jnp.int32, (t2, nrow), 1)
     half = 0.5 * (bs - 1)
 
     def prim_bwd(hh, _):
@@ -419,7 +442,7 @@ def _bwd_kernel(
             oyv, dyv, tin, tout, seg, (r0i, r1i) = _prim_setup(
                 m, ox, oy, oz, dx, dy, dz, tmin, tmax, dt, nbuf
             )
-            box2d = boxes_ref[0, hh]
+            box2d = boxes_ref[0, hh]  # [nrow, 128]
             dbox[...] = jnp.zeros_like(dbox)
             daff[...] = jnp.zeros_like(daff)
 
@@ -428,16 +451,9 @@ def _bwd_kernel(
                     ox, oy, oz, dx, dy, dz, tmin, tmax, oyv, dyv, tin, tout,
                     seg, rr, dt, fadescale, fadeexp,
                 )
-                fx = (y0 + 1.0) * half + 0.0
-                fy = (y1 + 1.0) * half
-                fz = (y2 + 1.0) * half
-                wzy = _axis_onehot(zcol, fz) * _axis_onehot(ycol, fy)
-                tmp = jnp.dot(wzy, box2d, preferred_element_type=jnp.float32)
-                wx32 = _axis_onehot(xcol, fx)
-                prod = wx32 * tmp
-                sample = prod[:, 0:4]
-                for x in range(1, bs):
-                    sample = sample + prod[:, 4 * x : 4 * x + 4]
+                sample, tmp, wzy_ms, wx32, (fx, fy, fz) = _sample_box128(
+                    box2d, y0, y1, y2, bs
+                )
 
                 u = fade * dt * mask
                 A_s = sample[:, 3]
@@ -456,25 +472,34 @@ def _bwd_kernel(
                 dS = jnp.stack([dS0, dS1, dS2, dS3], axis=-1)  # [T2, 4]
                 dS_tiled = jnp.concatenate([dS] * bs, axis=1)  # [T2, bs*4]
                 dtmp = wx32 * dS_tiled
-                # template gradient: dbox += wzy^T @ dtmp
-                dbox[:, 0 : bs * 4] += jax.lax.dot_general(
-                    wzy, dtmp, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                # dL/dwzy = dtmp @ box2d^T
-                dwzy = jax.lax.dot_general(
-                    dtmp, box2d, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                # dL/dfx from the x-interp; dfy/dfz from the (z,y) plane
+
+                # template gradient + (z,y) weight cotangents, per zy-group
+                dfy = jnp.zeros_like(y0)
+                dfz = jnp.zeros_like(y0)
+                for mm in range(g_per):
+                    wzy_m = wzy_ms[mm]
+                    dbox[:, mm * w4 : (mm + 1) * w4] += jax.lax.dot_general(
+                        wzy_m, dtmp, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    dwzy_m = jax.lax.dot_general(
+                        dtmp, box2d[:, mm * w4 : (mm + 1) * w4],
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # [T2, nrow]
+                    zy = g_per * riota + mm
+                    zc = (zy // bs).astype(jnp.float32)
+                    yc = (zy % bs).astype(jnp.float32)
+                    dfy = dfy + jnp.sum(
+                        _axis_onehot(zc, fz) * _axis_onehot_diff(yc, fy) * dwzy_m,
+                        axis=1,
+                    )
+                    dfz = dfz + jnp.sum(
+                        _axis_onehot_diff(zc, fz) * _axis_onehot(yc, fy) * dwzy_m,
+                        axis=1,
+                    )
                 prod2 = tmp * dS_tiled
                 dfx = jnp.sum(_axis_onehot_diff(xcol, fx) * prod2, axis=1)
-                dfy = jnp.sum(
-                    _axis_onehot(zcol, fz) * _axis_onehot_diff(ycol, fy) * dwzy, axis=1
-                )
-                dfz = jnp.sum(
-                    _axis_onehot_diff(zcol, fz) * _axis_onehot(ycol, fy) * dwzy, axis=1
-                )
                 # fade path: dfade = g_u * dt * mask; dfade/dy = -fs*fe*|y|^(fe-1)*sign(y)*fade
                 dfade = g_u * dt * mask
                 c = -fadescale * fadeexp
@@ -546,7 +571,7 @@ def _forward_pallas(t_o, t_d, t_mm, aff, c_box, cfg):
             _bspec((1, tsz, 3)),
             _bspec((1, tsz, 2)),
             _bspec((1, mh, 8, 128)),
-            _bspec((1, mh, bs * bs, bs * 4)),
+            _bspec((1, mh, (bs * bs * bs * 4) // 128, 128)),
         ],
         out_specs=_bspec((1, tsz, 4)),
         out_shape=jax.ShapeDtypeStruct((ntiles, tsz, 4), jnp.float32),
@@ -569,7 +594,7 @@ def _backward_pallas(gid_sp, t_o, t_d, t_mm, aff, c_box, g_tiles, nk, cfg):
         _bwd_kernel, dt=cfg["dt"], fadescale=cfg["fadescale"],
         fadeexp=cfg["fadeexp"], max_hit=mh, nbuf=nbuf, bs=bs,
     )
-    gbox = jnp.zeros((nk, bs * bs, 128), jnp.float32)
+    gbox = jnp.zeros((nk, (bs * bs * bs * 4) // 128, 128), jnp.float32)
     gaff = jnp.zeros((nk, 8, 128), jnp.float32)
 
     # SMEM holds ~1MB of prefetched scalars; keep each chunk's gid table small.
@@ -587,7 +612,7 @@ def _backward_pallas(gid_sp, t_o, t_d, t_mm, aff, c_box, g_tiles, nk, cfg):
                 _bspec((1, tsz, 3)),
                 _bspec((1, tsz, 2)),
                 _bspec((1, mh, 8, 128)),
-                _bspec((1, mh, bs * bs, bs * 4)),
+                _bspec((1, mh, (bs * bs * bs * 4) // 128, 128)),
                 _bspec((1, tsz, 4)),
                 pl.BlockSpec(memory_space=pltpu.HBM),  # gbox accumulator
                 pl.BlockSpec(memory_space=pltpu.HBM),  # gaff accumulator
@@ -599,9 +624,9 @@ def _backward_pallas(gid_sp, t_o, t_d, t_mm, aff, c_box, g_tiles, nk, cfg):
             scratch_shapes=[
                 pltpu.VMEM((4, nbuf, tsz), jnp.float32),  # acc
                 pltpu.VMEM((2, nbuf, tsz), jnp.float32),  # comp (cscale, da)
-                pltpu.VMEM((bs * bs, 128), jnp.float32),  # dbox (lane-padded)
+                pltpu.VMEM(((bs * bs * bs * 4) // 128, 128), jnp.float32),  # dbox
                 pltpu.VMEM((8, 128), jnp.float32),  # daff
-                pltpu.VMEM((bs * bs, 128), jnp.float32),  # stage_box (lane-padded)
+                pltpu.VMEM(((bs * bs * bs * 4) // 128, 128), jnp.float32),  # stage_box
                 pltpu.VMEM((8, 128), jnp.float32),  # stage_aff
                 pltpu.SemaphoreType.DMA((2,)),
             ],
@@ -610,7 +635,9 @@ def _backward_pallas(gid_sp, t_o, t_d, t_mm, aff, c_box, g_tiles, nk, cfg):
             kernel,
             grid_spec=grid_spec,
             out_shape=(
-                jax.ShapeDtypeStruct((nk, bs * bs, 128), jnp.float32),
+                jax.ShapeDtypeStruct(
+                    (nk, (bs * bs * bs * 4) // 128, 128), jnp.float32
+                ),
                 jax.ShapeDtypeStruct((nk, 8, 128), jnp.float32),
             ),
             input_output_aliases={7: 0, 8: 1},
@@ -656,7 +683,7 @@ def _make_raymarch(cfg_key):
         fp_pos = primpos.reshape(n * K, 3)
         fp_rot = primrot.reshape(n * K, 9)
         fp_scale = primscale.reshape(n * K, 3)
-        fp_box = template.reshape(n * K, bs * bs, bs * 4)
+        fp_box = template.reshape(n * K, (bs * bs * bs * 4) // 128, 128)
         aff, c_box = _gather_and_pack(
             fp_pos, fp_rot, fp_scale, fp_box, cand_gid, cand_valid, mh, bs
         )
@@ -677,7 +704,9 @@ def _make_raymarch(cfg_key):
         fp_pos = jax.lax.stop_gradient(primpos).reshape(n * K, 3)
         fp_rot = jax.lax.stop_gradient(primrot).reshape(n * K, 9)
         fp_scale = jax.lax.stop_gradient(primscale).reshape(n * K, 3)
-        fp_box = jax.lax.stop_gradient(template).reshape(n * K, bs * bs, bs * 4)
+        fp_box = jax.lax.stop_gradient(template).reshape(
+            n * K, (bs * bs * bs * 4) // 128, 128
+        )
         mh = cand_gid.shape[1]
         aff, c_box = _gather_and_pack(
             fp_pos, fp_rot, fp_scale, fp_box, cand_gid, cand_valid, mh, bs
@@ -710,7 +739,7 @@ def _make_raymarch(cfg_key):
         gbox = jnp.stack(gboxes)  # [N, K, bs^2, 128]
         gaff = jnp.stack(gaffs)  # [N, K, 8, 128]
 
-        d_template = gbox[:, :, :, 0 : bs * 4].reshape(n, K, bs, bs, bs, 4)
+        d_template = gbox.reshape(n, K, bs, bs, bs, 4)
         dA = gaff[:, :, 0:3, 0:3]
         db = gaff[:, :, 3, 0:3]
         _, pack_vjp = jax.vjp(_pack_affine, primpos, primrot, primscale)
@@ -762,6 +791,11 @@ def _mvp_raymarch_pallas_jit(
     interpret: bool = False,
     **_unused,
 ) -> jnp.ndarray:
+    bs_check = template.shape[2]
+    if (bs_check**3 * 4) % 128 != 0:
+        raise ValueError(
+            f"pallas backend needs primsize^3*4 divisible by 128, got {bs_check}"
+        )
     if warp is not None:
         raise NotImplementedError(
             "warp fields are supported by the xla backend; the training path "
