@@ -294,14 +294,23 @@ def _fwd_kernel(
 
     acc[...] = jnp.zeros_like(acc)
 
-    def prim_body(hh, _):
+    # Candidates are depth-sorted; once every live ray has accumulated
+    # density >= 1 + slack, farther candidates cannot contribute (the
+    # saturating composite zeroes their rows) — the same early-out the
+    # reference CUDA march performs per warp (primaccum.h termination).
+    def prim_cond(carry):
+        hh, dtot = carry
+        return (hh < max_hit) & (jnp.min(dtot) < 1.5)
+
+    def prim_body(carry):
+        hh, dtot = carry
         m = aff_ref[0, hh]
         oyv, dyv, tin, tout, seg, (r0i, r1i) = _prim_setup(
             m, ox, oy, oz, dx, dy, dz, tmin, tmax, dt, nbuf
         )
         box2d = boxes_ref[0, hh]
 
-        def row_body(rr, _):
+        def row_body(rr, dtot):
             _, y0, y1, y2, fade, mask = _row_state(
                 ox, oy, oz, dx, dy, dz, tmin, tmax, oyv, dyv, tin, tout, seg,
                 rr, dt, fadescale, fadeexp,
@@ -313,12 +322,14 @@ def _fwd_kernel(
             acc[0, rr, :] += a * sample[:, 0]
             acc[1, rr, :] += a * sample[:, 1]
             acc[2, rr, :] += a * sample[:, 2]
-            return 0
+            return dtot + a
 
-        jax.lax.fori_loop(r0i, r1i, row_body, 0)
-        return 0
+        dtot = jax.lax.fori_loop(r0i, r1i, row_body, dtot)
+        return hh + 1, dtot
 
-    jax.lax.fori_loop(0, max_hit, prim_body, 0)
+    t2f = jnp.zeros((t2,), jnp.float32)
+    dead_boost = jnp.where(tmin < tmax, 0.0, 2.0)
+    jax.lax.while_loop(prim_cond, prim_body, (jnp.int32(0), t2f + dead_boost))
 
     def comp_body(rr, carry):
         cum, rgb0, rgb1, rgb2 = carry
@@ -366,14 +377,19 @@ def _bwd_kernel(
     # ---- phase A: rebuild the density/color step buffers ----
     acc[...] = jnp.zeros_like(acc)
 
-    def prim_fwd(hh, _):
+    def prim_cond(carry):
+        hh, dtot = carry
+        return (hh < max_hit) & (jnp.min(dtot) < 1.5)
+
+    def prim_fwd(carry):
+        hh, dtot = carry
         m = aff_ref[0, hh]
         oyv, dyv, tin, tout, seg, (r0i, r1i) = _prim_setup(
             m, ox, oy, oz, dx, dy, dz, tmin, tmax, dt, nbuf
         )
         box2d = boxes_ref[0, hh]
 
-        def row_body(rr, _):
+        def row_body(rr, dtot):
             _, y0, y1, y2, fade, mask = _row_state(
                 ox, oy, oz, dx, dy, dz, tmin, tmax, oyv, dyv, tin, tout, seg,
                 rr, dt, fadescale, fadeexp,
@@ -385,12 +401,15 @@ def _bwd_kernel(
             acc[0, rr, :] += a * sample[:, 0]
             acc[1, rr, :] += a * sample[:, 1]
             acc[2, rr, :] += a * sample[:, 2]
-            return 0
+            return dtot + a
 
-        jax.lax.fori_loop(r0i, r1i, row_body, 0)
-        return 0
+        dtot = jax.lax.fori_loop(r0i, r1i, row_body, dtot)
+        return hh + 1, dtot
 
-    jax.lax.fori_loop(0, max_hit, prim_fwd, 0)
+    dead_boost = jnp.where(tmin < tmax, 0.0, 2.0)
+    jax.lax.while_loop(
+        prim_cond, prim_fwd, (jnp.int32(0), jnp.zeros((t2,), jnp.float32) + dead_boost)
+    )
 
     # ---- phase B: composite cotangents per row ----
     # forward scan: store contrib/a ("cscale") and post-row cumulative density
@@ -433,11 +452,14 @@ def _bwd_kernel(
     riota = jax.lax.broadcasted_iota(jnp.int32, (t2, nrow), 1)
     half = 0.5 * (bs - 1)
 
-    def prim_bwd(hh, _):
-        gid = gid_ref[tile_i, hh]
+    def prim_bwd_cond(carry):
+        hh, dtot = carry
+        return (hh < max_hit) & (jnp.min(dtot) < 1.5)
 
-        @pl.when(gid >= 0)
-        def _():
+    def prim_bwd(carry):
+        hh, dtot = carry
+        gid = gid_ref[tile_i, hh]
+        if True:
             m = aff_ref[0, hh]
             oyv, dyv, tin, tout, seg, (r0i, r1i) = _prim_setup(
                 m, ox, oy, oz, dx, dy, dz, tmin, tmax, dt, nbuf
@@ -446,7 +468,7 @@ def _bwd_kernel(
             dbox[...] = jnp.zeros_like(dbox)
             daff[...] = jnp.zeros_like(daff)
 
-            def row_body(rr, _):
+            def row_body(rr, dtot):
                 t, y0, y1, y2, fade, mask = _row_state(
                     ox, oy, oz, dx, dy, dz, tmin, tmax, oyv, dyv, tin, tout,
                     seg, rr, dt, fadescale, fadeexp,
@@ -457,6 +479,7 @@ def _bwd_kernel(
 
                 u = fade * dt * mask
                 A_s = sample[:, 3]
+                a = A_s * u  # density contribution (for early termination)
                 da_r = comp[1, rr, :]
                 csc = comp[0, rr, :]
                 dldc0, dldc1, dldc2 = g0 * csc, g1 * csc, g2 * csc
@@ -521,30 +544,36 @@ def _bwd_kernel(
                     pos4, dyv3, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-                return 0
+                return dtot + a
 
-            jax.lax.fori_loop(r0i, r1i, row_body, 0)
+            dtot = jax.lax.fori_loop(r0i, r1i, row_body, dtot)
 
-            # Read-modify-write the global accumulators for this primitive.
-            cp1 = pltpu.make_async_copy(gbox_out.at[gid], stage_box, sems.at[0])
-            cp1.start()
-            cp1.wait()
-            stage_box[...] += dbox[...]
-            cp2 = pltpu.make_async_copy(stage_box, gbox_out.at[gid], sems.at[0])
-            cp2.start()
-            cp2.wait()
+            # Read-modify-write the global accumulators for this primitive
+            # (guarded: invalid candidates carry gid = -1).
+            @pl.when(gid >= 0)
+            def _():
+                cp1 = pltpu.make_async_copy(gbox_out.at[gid], stage_box, sems.at[0])
+                cp1.start()
+                cp1.wait()
+                stage_box[...] += dbox[...]
+                cp2 = pltpu.make_async_copy(stage_box, gbox_out.at[gid], sems.at[0])
+                cp2.start()
+                cp2.wait()
 
-            cp3 = pltpu.make_async_copy(gaff_out.at[gid], stage_aff, sems.at[1])
-            cp3.start()
-            cp3.wait()
-            stage_aff[...] += daff[...]
-            cp4 = pltpu.make_async_copy(stage_aff, gaff_out.at[gid], sems.at[1])
-            cp4.start()
-            cp4.wait()
+                cp3 = pltpu.make_async_copy(gaff_out.at[gid], stage_aff, sems.at[1])
+                cp3.start()
+                cp3.wait()
+                stage_aff[...] += daff[...]
+                cp4 = pltpu.make_async_copy(stage_aff, gaff_out.at[gid], sems.at[1])
+                cp4.start()
+                cp4.wait()
 
-        return 0
+        return hh + 1, dtot
 
-    jax.lax.fori_loop(0, max_hit, prim_bwd, 0)
+    jax.lax.while_loop(
+        prim_bwd_cond, prim_bwd,
+        (jnp.int32(0), jnp.zeros((t2,), jnp.float32) + dead_boost),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -61,7 +61,15 @@ def main() -> None:
     mesh = make_mesh(axis_names=("data",))
     mb = shard_batch(mb, mesh)
 
-    # Warmup/compile
+    # Warm-up step uses the training warm-up protocol (populates the
+    # adaptive primitive-scale EMA — without it primscale is zero and the
+    # scene degenerates; reference ddp-train.py:374-377) and compiles.
+    state, loss, _ = train_step(
+        state, mb, rng, running_avg_scale=True, use_gt_geo=True,
+        residuals_weight=0.0,
+    )
+    jax.block_until_ready(loss)
+    # Compile the steady-state step too.
     state, loss, _ = train_step(state, mb, rng)
     jax.block_until_ready(loss)
 
@@ -71,6 +79,7 @@ def main() -> None:
         state, loss, _ = train_step(state, mb, sub)
     jax.block_until_ready(loss)
     dt = (time.time() - t0) / steps
+    assert np.isfinite(float(loss)), f"non-finite loss {loss}"
 
     n_chips = len(jax.devices())
     steps_per_sec_per_chip = (1.0 / dt) / n_chips * (batch / 4.0) * (h * w) / (512 * 334)
