@@ -160,6 +160,11 @@ class DecoderAssembler(nn.Module):
                 )
                 centsize = jnp.max(centsize, axis=0).reshape(K)
                 warps_vec = jax.lax.stop_gradient(2.0 / centsize)
+                # UV seams produce texels whose neighbors are across the
+                # atlas, giving near-zero scales (boxes as large as the whole
+                # volume) that destroy raymarch culling. Floor the scale so no
+                # primitive exceeds ~16/nh of the volume per side.
+                warps_vec = jnp.maximum(warps_vec, self.nh / 12.8)
                 old = self.adaptwarps.value
                 new = jnp.where(jnp.max(old) == 0.0, warps_vec, old * 0.9 + 0.1 * warps_vec)
                 if not self.is_initializing():

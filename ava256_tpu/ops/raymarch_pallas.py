@@ -102,7 +102,10 @@ def _tile_and_cull(raypos, raydir, tminmax, primpos, primscale, tile, max_hit, d
         & (tile_tmax > tile_tmin)[:, None]
     )
     key = jnp.where(hit, t_c, jnp.inf)
-    order = jnp.argsort(key, axis=1)[:, :max_hit]
+    # top_k (nearest-first) instead of a full sort over K per tile
+    mh = min(max_hit, key.shape[1])
+    neg_top, order = jax.lax.top_k(-key, mh)
+    del neg_top
     cand_valid = jnp.isfinite(jnp.take_along_axis(key, order, axis=1))
     cand_gid = tile_b[:, None] * K + order.astype(jnp.int32)
     cand_gid = jnp.where(cand_valid, cand_gid, 0)

@@ -180,7 +180,10 @@ def mvp_raymarch_xla(
         & (tile_tmax > tile_tmin)[:, None]
     )
     key = jnp.where(hit, t_c, jnp.inf)
-    order = jnp.argsort(key, axis=1)[:, :max_hit]  # [NT, MH] nearest-first
+    # top_k (nearest-first) instead of a full sort over K per tile
+    mh = min(max_hit, key.shape[1])
+    neg_top, order = jax.lax.top_k(-key, mh)
+    del neg_top  # [NT, MH] nearest-first
     cand_key = jnp.take_along_axis(key, order, axis=1)
     cand_valid = jnp.isfinite(cand_key)  # [NT, MH]
     cand_gid = tile_b[:, None] * K + order.astype(jnp.int32)  # global prim ids

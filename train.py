@@ -99,6 +99,16 @@ def main():
             from tensorboardX import SummaryWriter
 
             tb = SummaryWriter(str(outpath / cfg.progress.tensorboard.logdir))
+            # hparams logging (reference: ddp-train.py:86-94)
+            tb.add_hparams(
+                {
+                    "minibatchsize": cfg.train.batchsize,
+                    "globalbatchsize": cfg.train.batchsize * num_hosts,
+                    "learningrate": cfg.train.init_learning_rate,
+                    "optimizer": cfg.train.get("optimizer", "adam"),
+                },
+                {"hp_metric": 1.0},
+            )
         except ImportError:
             logger.warning("tensorboardX unavailable; scalar logging to stdout only")
 
