@@ -416,18 +416,26 @@ def _bwd_kernel(
 
     # ---- phase B: composite cotangents per row ----
     # forward scan: store contrib/a ("cscale") and post-row cumulative density
-    def comp_fwd(rr, cum):
+    def comp_fwd(rr, carry):
+        cum, satrow = carry
         a = acc[3, rr, :]
         new = cum + a
         contrib = jnp.minimum(new, 1.0) - jnp.minimum(cum, 1.0)
         comp[0, rr, :] = contrib / jnp.maximum(a, 1e-12)
         comp[1, rr, :] = new
-        return new
+        satrow = jnp.where((cum < 1.0) & (new >= 1.0), jnp.float32(rr), satrow)
+        return new, satrow
 
-    cum_final = jax.lax.fori_loop(
-        0, nbuf, comp_fwd, jnp.zeros((t2,), jnp.float32)
+    cum_final, satrow = jax.lax.fori_loop(
+        0, nbuf, comp_fwd,
+        (jnp.zeros((t2,), jnp.float32), jnp.full((t2,), float(nbuf), jnp.float32)),
     )
     q_final = (cum_final < 1.0).astype(jnp.float32)
+    # All cotangents vanish past each ray's saturation row; rows beyond the
+    # tile's last live saturation row can be skipped entirely in phase C.
+    live = tmin < tmax
+    tile_satrow = jnp.max(jnp.where(live, satrow, 0.0)) + 2.0
+    tile_satrow_i = jnp.minimum(tile_satrow, float(nbuf)).astype(jnp.int32)
 
     # reverse scan: dL/da_r = -cscale_r * w_r + rev_r + g_a * q_final where
     # w_r = (g . c_r) / a_r and rev_r = sum_{p>=r} q_p (w_p - w_{p+1}).
@@ -468,6 +476,7 @@ def _bwd_kernel(
                 m, ox, oy, oz, dx, dy, dz, tmin, tmax, dt, nbuf
             )
             box2d = boxes_ref[0, hh]  # [nrow, 128]
+            r1i = jnp.minimum(r1i, tile_satrow_i)
             dbox[...] = jnp.zeros_like(dbox)
             daff[...] = jnp.zeros_like(daff)
 
