@@ -214,47 +214,51 @@ def _prim_setup(m, ox, oy, oz, dx, dy, dz, tmin, tmax, dt, nbuf):
     )
 
 
-def _sample_box128(box128, y0, y1, y2, bs):
-    """Trilinear sample from a lane-native box layout.
-
-    box128: [bs^2/g, 128] where g = 128/(bs*4); flat element order is
-    (z*bs + y) * (bs*4) + (x*4 + c) — i.e. template.reshape(-1, 128). The
-    128-lane rows avoid all tiling padding in HBM/VMEM and in the gradient
-    accumulators. Sampling contracts over the zy axis with g small matmuls.
-
-    Returns (sample [T2,4], tmp [T2, bs*4], wzy_ms [g x [T2, R]], wx32, fx/fy/fz).
-    """
-    t2 = y0.shape[0]
+def _expand_box_to(box128_ref_val, bx64, bs):
+    """Copy a [bs^2/g, 128] lane-native box into a [bs^2, bs*4] VMEM scratch
+    (stores relayout; in-register sublane concat of lane-offset slices is not
+    supported by Mosaic). Row c = m*R + r maps to zy = g*r + m."""
     w4 = bs * 4
     g = 128 // w4
     r = (bs * bs) // g
+    for m in range(g):
+        bx64[m * r : (m + 1) * r, :] = box128_ref_val[:, m * w4 : (m + 1) * w4]
+
+
+def _wzy_cat(fy, fz, bs):
+    """One-hot (z,y) plane weights in the _expand_box row order: column
+    c = m*R + r corresponds to zy = g*r + m."""
+    t2 = fy.shape[0]
+    w4 = bs * 4
+    g = 128 // w4
+    r = (bs * bs) // g
+    c = jax.lax.broadcasted_iota(jnp.int32, (t2, bs * bs), 1)
+    zy = g * (c % r) + c // r
+    zcol = (zy // bs).astype(jnp.float32)
+    ycol = (zy % bs).astype(jnp.float32)
+    return zcol, ycol, _axis_onehot(zcol, fz) * _axis_onehot(ycol, fy)
+
+
+def _sample_box128(box64, y0, y1, y2, bs):
+    """Trilinear sample: one [T2, bs^2] @ [bs^2, bs*4] MXU matmul plus
+    static-slice x interpolation. box64 comes from _expand_box.
+
+    Returns (sample [T2,4], tmp, wzy [T2,bs^2], wx32, (zcol,ycol), (fx,fy,fz)).
+    """
+    t2 = y0.shape[0]
     fx = (y0 + 1.0) * 0.5 * (bs - 1)
     fy = (y1 + 1.0) * 0.5 * (bs - 1)
     fz = (y2 + 1.0) * 0.5 * (bs - 1)
-
-    riota = jax.lax.broadcasted_iota(jnp.int32, (t2, r), 1)
-    tmp = None
-    wzy_ms = []
-    for m in range(g):
-        zy = g * riota + m
-        zcol = (zy // bs).astype(jnp.float32)
-        ycol = (zy % bs).astype(jnp.float32)
-        wzy_m = _axis_onehot(zcol, fz) * _axis_onehot(ycol, fy)  # [T2, R]
-        wzy_ms.append(wzy_m)
-        part = jnp.dot(
-            wzy_m, box128[:, m * w4 : (m + 1) * w4],
-            preferred_element_type=jnp.float32,
-        )
-        tmp = part if tmp is None else tmp + part  # [T2, bs*4]
-
-    colx = jax.lax.broadcasted_iota(jnp.int32, (t2, w4), 1)
+    zcol, ycol, wzy = _wzy_cat(fy, fz, bs)
+    tmp = jnp.dot(wzy, box64, preferred_element_type=jnp.float32)  # [T2, bs*4]
+    colx = jax.lax.broadcasted_iota(jnp.int32, (t2, bs * 4), 1)
     xcol = (colx // 4).astype(jnp.float32)
     wx32 = _axis_onehot(xcol, fx)
     prod = wx32 * tmp
     sample = prod[:, 0:4]
     for x in range(1, bs):
         sample = sample + prod[:, 4 * x : 4 * x + 4]
-    return sample, tmp, wzy_ms, wx32, (fx, fy, fz)
+    return sample, tmp, wzy, wx32, (zcol, ycol, xcol), (fx, fy, fz)
 
 
 def _row_state(ox, oy, oz, dx, dy, dz, tmin, tmax, oyv, dyv, tin, tout, seg,
@@ -286,7 +290,7 @@ def _row_state(ox, oy, oz, dx, dy, dz, tmin, tmax, oyv, dyv, tin, tout, seg,
 
 def _fwd_kernel(
     o_ref, d_ref, mm_ref, aff_ref, boxes_ref,
-    out_ref, acc,
+    out_ref, acc, bx64,
     *, dt, fadescale, fadeexp, max_hit, nbuf, bs,
 ):
     t2 = o_ref.shape[1]
@@ -311,14 +315,15 @@ def _fwd_kernel(
         oyv, dyv, tin, tout, seg, (r0i, r1i) = _prim_setup(
             m, ox, oy, oz, dx, dy, dz, tmin, tmax, dt, nbuf
         )
-        box2d = boxes_ref[0, hh]
+        _expand_box_to(boxes_ref[0, hh], bx64, bs)
+        box64 = bx64[...]
 
         def row_body(rr, dtot):
             _, y0, y1, y2, fade, mask = _row_state(
                 ox, oy, oz, dx, dy, dz, tmin, tmax, oyv, dyv, tin, tout, seg,
                 rr, dt, fadescale, fadeexp,
             )
-            sample, *_ = _sample_box128(box2d, y0, y1, y2, bs)
+            sample, *_ = _sample_box128(box64, y0, y1, y2, bs)
             u = fade * dt * mask
             a = sample[:, 3] * u
             acc[3, rr, :] += a
@@ -363,7 +368,7 @@ def _fwd_kernel(
 def _bwd_kernel(
     gid_ref,  # scalar-prefetch: [NT, MH] int32 (-1 = invalid)
     o_ref, d_ref, mm_ref, aff_ref, boxes_ref, g_ref, gbox_in, gaff_in,
-    gbox_out, gaff_out, acc, comp, dbox, daff, stage_box, stage_aff, sems,
+    gbox_out, gaff_out, acc, comp, dbox, daff, stage_box, stage_aff, bx64, sems,
     *, dt, fadescale, fadeexp, max_hit, nbuf, bs,
 ):
     """See module docstring. gbox/gaff are HBM accumulators aliased
@@ -390,14 +395,15 @@ def _bwd_kernel(
         oyv, dyv, tin, tout, seg, (r0i, r1i) = _prim_setup(
             m, ox, oy, oz, dx, dy, dz, tmin, tmax, dt, nbuf
         )
-        box2d = boxes_ref[0, hh]
+        _expand_box_to(boxes_ref[0, hh], bx64, bs)
+        box64 = bx64[...]
 
         def row_body(rr, dtot):
             _, y0, y1, y2, fade, mask = _row_state(
                 ox, oy, oz, dx, dy, dz, tmin, tmax, oyv, dyv, tin, tout, seg,
                 rr, dt, fadescale, fadeexp,
             )
-            sample, *_ = _sample_box128(box2d, y0, y1, y2, bs)
+            sample, *_ = _sample_box128(box64, y0, y1, y2, bs)
             u = fade * dt * mask
             a = sample[:, 3] * u
             acc[3, rr, :] += a
@@ -455,12 +461,6 @@ def _bwd_kernel(
     jax.lax.fori_loop(0, nbuf, comp_rev, (zero, zero))
 
     # ---- phase C: re-march, chain per-sample cotangents, accumulate ----
-    w4 = bs * 4
-    g_per = 128 // w4
-    nrow = (bs * bs) // g_per
-    colx = jax.lax.broadcasted_iota(jnp.int32, (t2, w4), 1)
-    xcol = (colx // 4).astype(jnp.float32)
-    riota = jax.lax.broadcasted_iota(jnp.int32, (t2, nrow), 1)
     half = 0.5 * (bs - 1)
 
     def prim_bwd_cond(carry):
@@ -475,7 +475,8 @@ def _bwd_kernel(
             oyv, dyv, tin, tout, seg, (r0i, r1i) = _prim_setup(
                 m, ox, oy, oz, dx, dy, dz, tmin, tmax, dt, nbuf
             )
-            box2d = boxes_ref[0, hh]  # [nrow, 128]
+            _expand_box_to(boxes_ref[0, hh], bx64, bs)
+            box64 = bx64[...]
             r1i = jnp.minimum(r1i, tile_satrow_i)
             dbox[...] = jnp.zeros_like(dbox)
             daff[...] = jnp.zeros_like(daff)
@@ -485,8 +486,8 @@ def _bwd_kernel(
                     ox, oy, oz, dx, dy, dz, tmin, tmax, oyv, dyv, tin, tout,
                     seg, rr, dt, fadescale, fadeexp,
                 )
-                sample, tmp, wzy_ms, wx32, (fx, fy, fz) = _sample_box128(
-                    box2d, y0, y1, y2, bs
+                sample, tmp, wzy, wx32, (zcol, ycol, xcol2), (fx, fy, fz) = (
+                    _sample_box128(box64, y0, y1, y2, bs)
                 )
 
                 u = fade * dt * mask
@@ -508,33 +509,26 @@ def _bwd_kernel(
                 dS_tiled = jnp.concatenate([dS] * bs, axis=1)  # [T2, bs*4]
                 dtmp = wx32 * dS_tiled
 
-                # template gradient + (z,y) weight cotangents, per zy-group
-                dfy = jnp.zeros_like(y0)
-                dfz = jnp.zeros_like(y0)
-                for mm in range(g_per):
-                    wzy_m = wzy_ms[mm]
-                    dbox[:, mm * w4 : (mm + 1) * w4] += jax.lax.dot_general(
-                        wzy_m, dtmp, (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                    dwzy_m = jax.lax.dot_general(
-                        dtmp, box2d[:, mm * w4 : (mm + 1) * w4],
-                        (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )  # [T2, nrow]
-                    zy = g_per * riota + mm
-                    zc = (zy // bs).astype(jnp.float32)
-                    yc = (zy % bs).astype(jnp.float32)
-                    dfy = dfy + jnp.sum(
-                        _axis_onehot(zc, fz) * _axis_onehot_diff(yc, fy) * dwzy_m,
-                        axis=1,
-                    )
-                    dfz = dfz + jnp.sum(
-                        _axis_onehot_diff(zc, fz) * _axis_onehot(yc, fy) * dwzy_m,
-                        axis=1,
-                    )
+                # template gradient + (z,y) weight cotangents — single
+                # matmuls in the expanded box layout
+                dbox[...] += jax.lax.dot_general(
+                    wzy, dtmp, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [bs^2, bs*4]
+                dwzy = jax.lax.dot_general(
+                    dtmp, box64, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [T2, bs^2]
+                dfy = jnp.sum(
+                    _axis_onehot(zcol, fz) * _axis_onehot_diff(ycol, fy) * dwzy,
+                    axis=1,
+                )
+                dfz = jnp.sum(
+                    _axis_onehot_diff(zcol, fz) * _axis_onehot(ycol, fy) * dwzy,
+                    axis=1,
+                )
                 prod2 = tmp * dS_tiled
-                dfx = jnp.sum(_axis_onehot_diff(xcol, fx) * prod2, axis=1)
+                dfx = jnp.sum(_axis_onehot_diff(xcol2, fx) * prod2, axis=1)
                 # fade path: dfade = g_u * dt * mask; dfade/dy = -fs*fe*|y|^(fe-1)*sign(y)*fade
                 dfade = g_u * dt * mask
                 c = -fadescale * fadeexp
@@ -567,7 +561,13 @@ def _bwd_kernel(
                 cp1 = pltpu.make_async_copy(gbox_out.at[gid], stage_box, sems.at[0])
                 cp1.start()
                 cp1.wait()
-                stage_box[...] += dbox[...]
+                w4 = bs * 4
+                g_ = 128 // w4
+                r_ = (bs * bs) // g_
+                for m_ in range(g_):
+                    stage_box[:, m_ * w4 : (m_ + 1) * w4] += dbox[
+                        m_ * r_ : (m_ + 1) * r_, :
+                    ]
                 cp2 = pltpu.make_async_copy(stage_box, gbox_out.at[gid], sems.at[0])
                 cp2.start()
                 cp2.wait()
@@ -616,7 +616,10 @@ def _forward_pallas(t_o, t_d, t_mm, aff, c_box, cfg):
         ],
         out_specs=_bspec((1, tsz, 4)),
         out_shape=jax.ShapeDtypeStruct((ntiles, tsz, 4), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((4, cfg["nbuf"], tsz), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((4, cfg["nbuf"], tsz), jnp.float32),
+            pltpu.VMEM((bs * bs, bs * 4), jnp.float32),  # expanded box
+        ],
         interpret=cfg["interpret"],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
@@ -665,10 +668,11 @@ def _backward_pallas(gid_sp, t_o, t_d, t_mm, aff, c_box, g_tiles, nk, cfg):
             scratch_shapes=[
                 pltpu.VMEM((4, nbuf, tsz), jnp.float32),  # acc
                 pltpu.VMEM((2, nbuf, tsz), jnp.float32),  # comp (cscale, da)
-                pltpu.VMEM(((bs * bs * bs * 4) // 128, 128), jnp.float32),  # dbox
+                pltpu.VMEM((bs * bs, bs * 4), jnp.float32),  # dbox (expanded)
                 pltpu.VMEM((8, 128), jnp.float32),  # daff
                 pltpu.VMEM(((bs * bs * bs * 4) // 128, 128), jnp.float32),  # stage_box
                 pltpu.VMEM((8, 128), jnp.float32),  # stage_aff
+                pltpu.VMEM((bs * bs, bs * 4), jnp.float32),  # expanded box
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         )
