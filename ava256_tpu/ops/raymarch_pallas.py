@@ -306,15 +306,17 @@ def _fwd_kernel(
     # saturating composite zeroes their rows) — the same early-out the
     # reference CUDA march performs per warp (primaccum.h termination).
     def prim_cond(carry):
-        hh, dtot = carry
+        hh, dtot, rmin, rmax = carry
         return (hh < max_hit) & (jnp.min(dtot) < 1.5)
 
     def prim_body(carry):
-        hh, dtot = carry
+        hh, dtot, rmin, rmax = carry
         m = aff_ref[0, hh]
         oyv, dyv, tin, tout, seg, (r0i, r1i) = _prim_setup(
             m, ox, oy, oz, dx, dy, dz, tmin, tmax, dt, nbuf
         )
+        rmin = jnp.where(r1i > r0i, jnp.minimum(rmin, r0i), rmin)
+        rmax = jnp.where(r1i > r0i, jnp.maximum(rmax, r1i), rmax)
         _expand_box_to(boxes_ref[0, hh], bx64, bs)
         box64 = bx64[...]
 
@@ -326,34 +328,39 @@ def _fwd_kernel(
             sample, *_ = _sample_box128(box64, y0, y1, y2, bs)
             u = fade * dt * mask
             a = sample[:, 3] * u
-            acc[3, rr, :] += a
-            acc[0, rr, :] += a * sample[:, 0]
-            acc[1, rr, :] += a * sample[:, 1]
-            acc[2, rr, :] += a * sample[:, 2]
+            acc[rr, :, :] += jnp.stack(
+                [a * sample[:, 0], a * sample[:, 1], a * sample[:, 2], a], axis=0
+            )
             return dtot + a
 
         dtot = jax.lax.fori_loop(r0i, r1i, row_body, dtot)
-        return hh + 1, dtot
+        return hh + 1, dtot, rmin, rmax
 
     t2f = jnp.zeros((t2,), jnp.float32)
     dead_boost = jnp.where(tmin < tmax, 0.0, 2.0)
-    jax.lax.while_loop(prim_cond, prim_body, (jnp.int32(0), t2f + dead_boost))
+    _, _, rmin, rmax = jax.lax.while_loop(
+        prim_cond, prim_body,
+        (jnp.int32(0), t2f + dead_boost, jnp.int32(nbuf), jnp.int32(0)),
+    )
 
     def comp_body(rr, carry):
         cum, rgb0, rgb1, rgb2 = carry
-        a = acc[3, rr, :]
+        row = acc[rr, :, :]
+        a = row[3, :]
         new = cum + a
         contrib = jnp.minimum(new, 1.0) - jnp.minimum(cum, 1.0)
         scale = contrib / jnp.maximum(a, 1e-12)
         return (
             new,
-            rgb0 + scale * acc[0, rr, :],
-            rgb1 + scale * acc[1, rr, :],
-            rgb2 + scale * acc[2, rr, :],
+            rgb0 + scale * row[0, :],
+            rgb1 + scale * row[1, :],
+            rgb2 + scale * row[2, :],
         )
 
     zero = jnp.zeros((t2,), jnp.float32)
-    cum, rgb0, rgb1, rgb2 = jax.lax.fori_loop(0, nbuf, comp_body, (zero,) * 4)
+    cum, rgb0, rgb1, rgb2 = jax.lax.fori_loop(
+        jnp.minimum(rmin, rmax), rmax, comp_body, (zero,) * 4
+    )
     out_ref[0, :, 0] = rgb0
     out_ref[0, :, 1] = rgb1
     out_ref[0, :, 2] = rgb2
@@ -386,15 +393,17 @@ def _bwd_kernel(
     acc[...] = jnp.zeros_like(acc)
 
     def prim_cond(carry):
-        hh, dtot = carry
+        hh, dtot, rmin, rmax = carry
         return (hh < max_hit) & (jnp.min(dtot) < 1.5)
 
     def prim_fwd(carry):
-        hh, dtot = carry
+        hh, dtot, rmin, rmax = carry
         m = aff_ref[0, hh]
         oyv, dyv, tin, tout, seg, (r0i, r1i) = _prim_setup(
             m, ox, oy, oz, dx, dy, dz, tmin, tmax, dt, nbuf
         )
+        rmin = jnp.where(r1i > r0i, jnp.minimum(rmin, r0i), rmin)
+        rmax = jnp.where(r1i > r0i, jnp.maximum(rmax, r1i), rmax)
         _expand_box_to(boxes_ref[0, hh], bx64, bs)
         box64 = bx64[...]
 
@@ -406,34 +415,35 @@ def _bwd_kernel(
             sample, *_ = _sample_box128(box64, y0, y1, y2, bs)
             u = fade * dt * mask
             a = sample[:, 3] * u
-            acc[3, rr, :] += a
-            acc[0, rr, :] += a * sample[:, 0]
-            acc[1, rr, :] += a * sample[:, 1]
-            acc[2, rr, :] += a * sample[:, 2]
+            acc[rr, :, :] += jnp.stack(
+                [a * sample[:, 0], a * sample[:, 1], a * sample[:, 2], a], axis=0
+            )
             return dtot + a
 
         dtot = jax.lax.fori_loop(r0i, r1i, row_body, dtot)
-        return hh + 1, dtot
+        return hh + 1, dtot, rmin, rmax
 
     dead_boost = jnp.where(tmin < tmax, 0.0, 2.0)
-    jax.lax.while_loop(
-        prim_cond, prim_fwd, (jnp.int32(0), jnp.zeros((t2,), jnp.float32) + dead_boost)
+    _, _, rmin, rmax = jax.lax.while_loop(
+        prim_cond, prim_fwd,
+        (jnp.int32(0), jnp.zeros((t2,), jnp.float32) + dead_boost,
+         jnp.int32(nbuf), jnp.int32(0)),
     )
+    rmin = jnp.minimum(rmin, rmax)
 
     # ---- phase B: composite cotangents per row ----
     # forward scan: store contrib/a ("cscale") and post-row cumulative density
     def comp_fwd(rr, carry):
         cum, satrow = carry
-        a = acc[3, rr, :]
+        a = acc[rr, 3, :]
         new = cum + a
         contrib = jnp.minimum(new, 1.0) - jnp.minimum(cum, 1.0)
-        comp[0, rr, :] = contrib / jnp.maximum(a, 1e-12)
-        comp[1, rr, :] = new
+        comp[rr, :, :] = jnp.stack([contrib / jnp.maximum(a, 1e-12), new], axis=0)
         satrow = jnp.where((cum < 1.0) & (new >= 1.0), jnp.float32(rr), satrow)
         return new, satrow
 
     cum_final, satrow = jax.lax.fori_loop(
-        0, nbuf, comp_fwd,
+        rmin, rmax, comp_fwd,
         (jnp.zeros((t2,), jnp.float32), jnp.full((t2,), float(nbuf), jnp.float32)),
     )
     q_final = (cum_final < 1.0).astype(jnp.float32)
@@ -447,18 +457,20 @@ def _bwd_kernel(
     # w_r = (g . c_r) / a_r and rev_r = sum_{p>=r} q_p (w_p - w_{p+1}).
     def comp_rev(i, carry):
         rev, w_next = carry
-        rr = nbuf - 1 - i
-        a = acc[3, rr, :]
-        w = (
-            g0 * acc[0, rr, :] + g1 * acc[1, rr, :] + g2 * acc[2, rr, :]
-        ) / jnp.maximum(a, 1e-12)
-        q = (comp[1, rr, :] < 1.0).astype(jnp.float32)
+        rr = rmax - 1 - i
+        row = acc[rr, :, :]
+        a = row[3, :]
+        w = (g0 * row[0, :] + g1 * row[1, :] + g2 * row[2, :]) / jnp.maximum(
+            a, 1e-12
+        )
+        crow = comp[rr, :, :]
+        q = (crow[1, :] < 1.0).astype(jnp.float32)
         rev = rev + q * (w - w_next)
-        comp[1, rr, :] = -comp[0, rr, :] * w + rev + g3 * q_final
+        comp[rr, 1, :] = -crow[0, :] * w + rev + g3 * q_final
         return rev, w
 
     zero = jnp.zeros((t2,), jnp.float32)
-    jax.lax.fori_loop(0, nbuf, comp_rev, (zero, zero))
+    jax.lax.fori_loop(0, rmax - rmin, comp_rev, (zero, zero))
 
     # ---- phase C: re-march, chain per-sample cotangents, accumulate ----
     half = 0.5 * (bs - 1)
@@ -478,6 +490,7 @@ def _bwd_kernel(
             _expand_box_to(boxes_ref[0, hh], bx64, bs)
             box64 = bx64[...]
             r1i = jnp.minimum(r1i, tile_satrow_i)
+            r0i = jnp.maximum(r0i, rmin)
             dbox[...] = jnp.zeros_like(dbox)
             daff[...] = jnp.zeros_like(daff)
 
@@ -493,8 +506,9 @@ def _bwd_kernel(
                 u = fade * dt * mask
                 A_s = sample[:, 3]
                 a = A_s * u  # density contribution (for early termination)
-                da_r = comp[1, rr, :]
-                csc = comp[0, rr, :]
+                crow = comp[rr, :, :]
+                da_r = crow[1, :]
+                csc = crow[0, :]
                 dldc0, dldc1, dldc2 = g0 * csc, g1 * csc, g2 * csc
                 rgb_dot = (
                     dldc0 * sample[:, 0] + dldc1 * sample[:, 1] + dldc2 * sample[:, 2]
@@ -555,8 +569,9 @@ def _bwd_kernel(
             dtot = jax.lax.fori_loop(r0i, r1i, row_body, dtot)
 
             # Read-modify-write the global accumulators for this primitive
-            # (guarded: invalid candidates carry gid = -1).
-            @pl.when(gid >= 0)
+            # (guarded: invalid candidates carry gid = -1; prims whose rows
+            # were all culled have zero gradients and skip the DMA).
+            @pl.when((gid >= 0) & (r1i > r0i))
             def _():
                 cp1 = pltpu.make_async_copy(gbox_out.at[gid], stage_box, sems.at[0])
                 cp1.start()
@@ -617,7 +632,7 @@ def _forward_pallas(t_o, t_d, t_mm, aff, c_box, cfg):
         out_specs=_bspec((1, tsz, 4)),
         out_shape=jax.ShapeDtypeStruct((ntiles, tsz, 4), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((4, cfg["nbuf"], tsz), jnp.float32),
+            pltpu.VMEM((cfg["nbuf"], 4, tsz), jnp.float32),
             pltpu.VMEM((bs * bs, bs * 4), jnp.float32),  # expanded box
         ],
         interpret=cfg["interpret"],
@@ -666,8 +681,8 @@ def _backward_pallas(gid_sp, t_o, t_d, t_mm, aff, c_box, g_tiles, nk, cfg):
                 pl.BlockSpec(memory_space=pltpu.HBM),
             ),
             scratch_shapes=[
-                pltpu.VMEM((4, nbuf, tsz), jnp.float32),  # acc
-                pltpu.VMEM((2, nbuf, tsz), jnp.float32),  # comp (cscale, da)
+                pltpu.VMEM((nbuf, 4, tsz), jnp.float32),  # acc
+                pltpu.VMEM((nbuf, 2, tsz), jnp.float32),  # comp (cscale, da)
                 pltpu.VMEM((bs * bs, bs * 4), jnp.float32),  # dbox (expanded)
                 pltpu.VMEM((8, 128), jnp.float32),  # daff
                 pltpu.VMEM(((bs * bs * bs * 4) // 128, 128), jnp.float32),  # stage_box
