@@ -165,18 +165,15 @@ def _pow_abs(x, p):
 
 
 def _axis_onehot(cols, f):
-    """w[t, j] = (1 - frac) at floor(f), frac at floor(f)+1, else 0."""
-    i0 = jnp.floor(f)[:, None]
-    frac = f[:, None] - i0
-    w = jnp.where(cols == i0, 1.0 - frac, 0.0)
-    return w + jnp.where(cols == i0 + 1.0, frac, 0.0)
+    """Linear-interp weights as a triangle hat: w[t, j] = max(0, 1 - |j - f|)
+    — identical to the (1-frac)/frac one-hot pair but 3 VPU ops/element."""
+    return jnp.maximum(0.0, 1.0 - jnp.abs(cols - f[:, None]))
 
 
 def _axis_onehot_diff(cols, f):
-    """d(w)/d(f): -1 at floor(f), +1 at floor(f)+1, else 0."""
-    i0 = jnp.floor(f)[:, None]
-    d = jnp.where(cols == i0, -1.0, 0.0)
-    return d + jnp.where(cols == i0 + 1.0, 1.0, 0.0)
+    """d(w)/d(f): sign(j - f) on the hat's support, 0 elsewhere."""
+    d = cols - f[:, None]
+    return jnp.where(jnp.abs(d) < 1.0, jnp.sign(d), 0.0)
 
 
 def _prim_setup(m, ox, oy, oz, dx, dy, dz, tmin, tmax, dt, nbuf):
@@ -328,12 +325,17 @@ def _fwd_kernel(
             sample, *_ = _sample_box128(box64, y0, y1, y2, bs)
             u = fade * dt * mask
             a = sample[:, 3] * u
+            rr = jnp.minimum(rr, nbuf - 1)
             acc[rr, :, :] += jnp.stack(
                 [a * sample[:, 0], a * sample[:, 1], a * sample[:, 2], a], axis=0
             )
             return dtot + a
 
-        dtot = jax.lax.fori_loop(r0i, r1i, row_body, dtot)
+        def row2_body(i, dtot):
+            rr = r0i + 2 * i
+            return row_body(rr + 1, row_body(rr, dtot))
+
+        dtot = jax.lax.fori_loop(0, (r1i - r0i + 1) // 2, row2_body, dtot)
         return hh + 1, dtot, rmin, rmax
 
     t2f = jnp.zeros((t2,), jnp.float32)
@@ -415,12 +417,17 @@ def _bwd_kernel(
             sample, *_ = _sample_box128(box64, y0, y1, y2, bs)
             u = fade * dt * mask
             a = sample[:, 3] * u
+            rr = jnp.minimum(rr, nbuf - 1)
             acc[rr, :, :] += jnp.stack(
                 [a * sample[:, 0], a * sample[:, 1], a * sample[:, 2], a], axis=0
             )
             return dtot + a
 
-        dtot = jax.lax.fori_loop(r0i, r1i, row_body, dtot)
+        def row2_body(i, dtot):
+            rr = r0i + 2 * i
+            return row_body(rr + 1, row_body(rr, dtot))
+
+        dtot = jax.lax.fori_loop(0, (r1i - r0i + 1) // 2, row2_body, dtot)
         return hh + 1, dtot, rmin, rmax
 
     dead_boost = jnp.where(tmin < tmax, 0.0, 2.0)
@@ -506,9 +513,14 @@ def _bwd_kernel(
                 u = fade * dt * mask
                 A_s = sample[:, 3]
                 a = A_s * u  # density contribution (for early termination)
+                # The two-row loop can step one row past the written
+                # [rmin, rmax) comp range; gate the reads (uninitialized
+                # scratch would otherwise inject NaN * 0).
+                in_range = (rr >= rmin) & (rr < rmax)
+                rr = jnp.minimum(rr, nbuf - 1)
                 crow = comp[rr, :, :]
-                da_r = crow[1, :]
-                csc = crow[0, :]
+                da_r = jnp.where(in_range, crow[1, :], 0.0)
+                csc = jnp.where(in_range, crow[0, :], 0.0)
                 dldc0, dldc1, dldc2 = g0 * csc, g1 * csc, g2 * csc
                 rgb_dot = (
                     dldc0 * sample[:, 0] + dldc1 * sample[:, 1] + dldc2 * sample[:, 2]
@@ -566,7 +578,11 @@ def _bwd_kernel(
                 )
                 return dtot + a
 
-            dtot = jax.lax.fori_loop(r0i, r1i, row_body, dtot)
+            def row2_body(i, dtot):
+                rr = r0i + 2 * i
+                return row_body(rr + 1, row_body(rr, dtot))
+
+            dtot = jax.lax.fori_loop(0, (r1i - r0i + 1) // 2, row2_body, dtot)
 
             # Read-modify-write the global accumulators for this primitive
             # (guarded: invalid candidates carry gid = -1; prims whose rows
