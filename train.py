@@ -291,9 +291,14 @@ def _forward_eval(model, state, mb, target_tex=None, target_verts=None):
 
 
 def _progress_render(model, state, mb, outpath, iternum):
+    from ava256_tpu.train.metrics import psnr
+
     out = _forward_eval(model, state, mb)
     rec = np.asarray(out["irgbrec"])
     gt = np.asarray(mb["image"])
+    logging.getLogger().info(
+        "Progress iter %d: PSNR %.2f dB", iternum, float(psnr(out["irgbrec"], mb["image"]))
+    )
     rows = [[gt[b], rec[b], (gt[b] - rec[b]) ** 2 * 10] for b in range(gt.shape[0])]
     render_img(rows, str(Path(outpath) / f"progress_{iternum}.png"))
 
