@@ -17,7 +17,7 @@ Pipeline (capability parity with reference models/decoders/assembler.py:21-269):
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
 

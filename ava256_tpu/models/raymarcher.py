@@ -13,7 +13,7 @@ Capability parity with the reference wrapper
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax.numpy as jnp
 

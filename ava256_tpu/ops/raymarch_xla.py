@@ -31,7 +31,6 @@ Tiles are processed in chunks under jax.checkpoint to bound live memory.
 
 from __future__ import annotations
 
-import math
 from functools import partial
 from typing import Optional, Tuple
 

@@ -6,7 +6,6 @@ tunnel); wrapping it in jit compiles initialization into one program.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict
 
 import jax

@@ -14,7 +14,7 @@ Reference behaviors reproduced (reference: ddp-train.py:67-95,329-341,436-441,
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ costs one recompile.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Callable, Dict, FrozenSet, Optional, Tuple
+from typing import Callable, Dict, FrozenSet, Tuple
 
 import jax
 import jax.numpy as jnp

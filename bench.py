@@ -34,7 +34,7 @@ def main() -> None:
     from __graft_entry__ import _build
     from ava256_tpu.parallel.mesh import make_mesh, shard_batch
     from ava256_tpu.train.state import create_train_state, make_optimizer
-    from ava256_tpu.train.step import BATCH_MODEL_KEYS, make_train_step
+    from ava256_tpu.train.step import make_train_step
 
     steps = int(os.environ.get("AVA256_BENCH_STEPS", 5))
     batch = int(os.environ.get("AVA256_BENCH_BATCH", 4))

@@ -24,7 +24,6 @@ from ava256_tpu.config import load_config
 from ava256_tpu.geometry import create_uv_baridx
 from ava256_tpu.factory import get_autoencoder
 from ava256_tpu.train.state import create_train_state, make_optimizer, restore_checkpoint
-from ava256_tpu.train.step import BATCH_MODEL_KEYS
 from ava256_tpu.utils import setup_logging
 
 
