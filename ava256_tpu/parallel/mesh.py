@@ -53,10 +53,22 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis: str = "data") -> Dict[str, Any]:
-    """Device-put every array in the batch with its batch axis sharded."""
+    """Device-put every array in the batch with its batch axis sharded.
+
+    Single-process: a plain ``device_put`` onto the sharding. Multi-process
+    (``jax.distributed``): each host holds only its own shard of the global
+    batch (the loader strides items per host, matching the reference's
+    DistributedSampler — reference: ddp-train.py:134), so the global array is
+    assembled from process-local data; the global batch size is the per-host
+    batch times ``jax.process_count()``.
+    """
     sh = batch_sharding(mesh, axis)
 
-    def put(x):
-        return jax.device_put(x, sh)
+    if jax.process_count() > 1:
+        def put(x):
+            return jax.make_array_from_process_local_data(sh, np.asarray(x))
+    else:
+        def put(x):
+            return jax.device_put(x, sh)
 
     return jax.tree_util.tree_map(put, batch)
