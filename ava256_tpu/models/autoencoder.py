@@ -153,6 +153,12 @@ class Autoencoder(nn.Module):
             m = resize_bilinear(alpha_mask[None, :, :, None], (nh, nh))
             m = (m.reshape(1, nh * nh, 1, 1, 1, 1) > 0.5).astype(decout["template"].dtype)
             decout["template"] = decout["template"].at[..., 3:4].mul(m)
+            # physical culling: the pallas backend drops masked prims at the
+            # tile-culling stage, recovering the reference's speed benefit
+            # (reference: models/autoencoder.py:214-228)
+            decout["prim_mask"] = jnp.broadcast_to(
+                m.reshape(1, nh * nh), (decout["template"].shape[0], nh * nh)
+            )
 
         # Normalized screen coordinates of the traced pixels
         samplecoords = jnp.concatenate(

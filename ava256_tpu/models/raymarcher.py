@@ -70,11 +70,44 @@ class Raymarcher:
         elif self.backend == "pallas":
             from ava256_tpu.ops.raymarch_pallas import mvp_raymarch_pallas
 
-            rayrgba = mvp_raymarch_pallas(
-                raypos, raydir, self.dt, tminmax,
-                primpos, primrot, primscale, template, warp,
-                fadescale=self.fadescale, fadeexp=self.fadeexp,
-                **self.options,
+            options = dict(self.options)
+            mesh = options.pop("mesh", None)
+            data_axis = options.pop("data_axis", "data")
+
+            prim_mask = decout.get("prim_mask")
+            if prim_mask is None:
+                prim_mask = jnp.ones(primpos.shape[:2], jnp.float32)
+
+            def march(rp, rd, tmm, pm, pp, pr, ps, tpl):
+                return mvp_raymarch_pallas(
+                    rp, rd, self.dt, tmm, pp, pr, ps, tpl, warp,
+                    prim_mask=pm,
+                    fadescale=self.fadescale, fadeexp=self.fadeexp,
+                    **options,
+                )
+
+            n = raypos.shape[0]
+            if (
+                mesh is not None
+                and data_axis in mesh.shape
+                and mesh.shape[data_axis] > 1
+                and n % mesh.shape[data_axis] == 0
+                and warp is None
+            ):
+                # Run the kernels per batch shard: pallas_call has no GSPMD
+                # partitioning rule, so without this XLA would all-gather the
+                # batch and march it replicated on every device.
+                from jax.experimental.shard_map import shard_map
+                from jax.sharding import PartitionSpec as P
+
+                spec = P(data_axis)
+                march = shard_map(
+                    march, mesh=mesh, in_specs=(spec,) * 8, out_specs=spec,
+                    check_rep=False,
+                )
+            rayrgba = march(
+                raypos, raydir, tminmax, prim_mask,
+                primpos, primrot, primscale, template,
             )
         else:
             raise ValueError(f"unknown raymarch backend: {self.backend}")

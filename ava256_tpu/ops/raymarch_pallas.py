@@ -2,35 +2,57 @@
 
 TPU-native replacement for the reference CUDA raymarcher's hot loop
 (reference: extensions/mvpraymarch/mvpraymarch_subset_kernel.h:14-216). The
-two-level culling (tile cones -> per-ray OBB intervals) is shared with the
-XLA path; these kernels replace the per-sample evaluation and compositing:
+two-level culling (tile cones -> per-ray slab intervals) runs in XLA; the
+Pallas kernels do the per-sample evaluation and compositing.
 
-- grid over pixel tiles; per-tile candidate primitive RGBA boxes and packed
-  affine transforms (A = R diag(s), b = -c A, lane-aligned 8x128 — no scalar
-  control flow or SMEM parameter plumbing; invalid candidates carry empty
-  slab intervals) are pre-gathered in XLA and streamed HBM->VMEM by the
-  Pallas pipeline (double-buffered across grid steps);
-- per candidate, the kernel marches its tile-coherent step range, writing
-  density/color into per-ray step buffers laid out [steps, rays] so each
-  row update is a full-lane vector op;
-- trilinear sampling is factorized into a one-hot (z,y)-plane matmul on the
-  MXU plus static-slice x interpolation — no scalar gathers;
-- compositing applies the saturating additive rule as a sequential row scan.
+Layout: everything inside the kernel is *ray-lane-major* — per-ray vectors
+are [T2] lane rows, the trilinear weights are [BZY, T2] / [bs*nch, T2] fully
+packed vector registers, and the RGBA boxes are pre-transposed in XLA to
+[bs*nch, BZY] (BZY = bs^2 zero-padded to a 128-lane multiple) so sampling is
+two MXU matmuls:
 
-Within-step semantics: all primitives covering the same step are summed
+    tmp[x*nch+c, t] = vol^T [bs*nch, BZY] @ wzy [BZY, T2]
+    sample[c, t]    = Sx [nch, bs*nch] @ (wx * tmp)
+
+Affine transforms travel as 13 scalars per candidate in SMEM (A row-major,
+b, t_start); applying them is 24 scalar-broadcast multiply-adds on [T2]
+rows — no [8,128] parameter blocks, no in-kernel box relayouts.
+
+Warp fields (reference: extensions/mvpraymarch/primsampler.h:53-61) are a
+second trilinear chain: the 3-channel warp volume is sampled at the ray's
+local coordinate and the RGBA template is sampled at the warped coordinate;
+the backward pass chains template -> warp -> position cotangents.
+
+Within-step semantics: all primitives covering the same step row are summed
 before saturation (order-independent and deterministic), matching the
 reference up to its own unordered-atomics ambiguity (reference:
 extensions/mvpraymarch/mvpraymarch.py:339-342 documents that ordering is
-unspecified without sortprims).
+unspecified without sortprims; ops.raymarch_ref implements both members of
+that family via within_step=).
+
+Early termination is *exact*, not heuristic: candidates are depth-sorted by
+a sound lower bound on their first reachable ray parameter
+(t_c - radius - |v|*max_ray_axis_angle, computed per tile during culling).
+The kernel keeps a scan pointer over the density step buffer and stops
+marching candidates once every live ray has saturated strictly below the
+next candidate's earliest reachable row — by construction the remaining
+candidates cannot change the composite, so the early-out output equals the
+full march bit-for-bit.
+
+nbuf (the step-row buffer depth) truncates the march: tmax is clamped to
+tmin + nbuf*dt before culling, so a too-small nbuf means a shorter marching
+range (same semantics as the oracle's max_steps), never a mis-composited
+image. The default nbuf=None auto-sizes to cover the [-1,1]^3 cube diagonal.
 
 Backward (mirroring the reference's re-marching backward kernel,
 extensions/mvpraymarch/mvpraymarch_subset_kernel.h:102-216): phase A re-runs
 the forward march to rebuild the step buffers; phase B converts the incoming
 rgba cotangent into per-row density/color cotangents via a forward + reverse
-scan over the saturating composite; phase C re-marches, chaining per-sample
-cotangents through the trilinear sample (transpose matmuls on the MXU) and
-the fade/affine transform, accumulating per-primitive gradients into global
-HBM accumulators by read-modify-write DMA — race-free because the tile grid
+scan over the saturating composite; phase C re-marches the candidates phase
+A processed, chaining per-sample cotangents through the trilinear sample
+(transpose matmuls on the MXU) and the fade/affine transform into per-tile
+VMEM gradient buffers, which a drain loop then folds into global HBM
+accumulators by read-modify-write DMA — race-free because the tile grid
 executes sequentially on the TensorCore, so no atomics are needed (the
 reference requires sortprims=True for deterministic gradients; ours are
 always deterministic).
@@ -54,7 +76,8 @@ from ava256_tpu.ops.raymarch_xla import _ceil_to
 # ---------------------------------------------------------------------------
 
 
-def _tile_and_cull(raypos, raydir, tminmax, primpos, primscale, tile, max_hit, dt):
+def _tile_and_cull(raypos, raydir, tminmax, primpos, primscale, prim_mask,
+                   tile, max_hit, dt):
     n, h, w = raypos.shape[0], raypos.shape[1], raypos.shape[2]
     K = primpos.shape[1]
     hp, wp = _ceil_to(h, tile), _ceil_to(w, tile)
@@ -70,7 +93,8 @@ def _tile_and_cull(raypos, raydir, tminmax, primpos, primscale, tile, max_hit, d
     def tile_view(x):
         ch = x.shape[-1]
         x = x.reshape(n, nty, tile, ntx, tile, ch)
-        return x.transpose(0, 1, 3, 2, 4, 5).reshape(ntiles, tsz, ch)
+        # [ntiles, ch, tsz]: per-ray quantities are lane rows in the kernel
+        return x.transpose(0, 1, 3, 5, 2, 4).reshape(ntiles, ch, tsz)
 
     t_o = tile_view(raypos_p)
     t_d = tile_view(raydir_p)
@@ -78,17 +102,19 @@ def _tile_and_cull(raypos, raydir, tminmax, primpos, primscale, tile, max_hit, d
     tile_b = jnp.arange(ntiles, dtype=jnp.int32) // (nty * ntx)
 
     radii = jnp.linalg.norm(1.0 / primscale, axis=-1)  # [N, K]
-    apex = t_o[:, 0, :]
-    dsum = jnp.sum(t_d, axis=1)
+    apex = t_o[:, :, 0]
+    dsum = jnp.sum(t_d, axis=2)
     axis = dsum / jnp.linalg.norm(dsum, axis=-1, keepdims=True)
-    cosang = jnp.einsum("tpc,tc->tp", t_d, axis)
-    tanmax = jnp.sqrt(jnp.clip(1.0 - jnp.min(cosang, axis=1) ** 2, 0.0, 1.0)) / jnp.clip(
-        jnp.min(cosang, axis=1), 1e-3
-    )
-    live = t_mm[..., 0] < t_mm[..., 1]
+    cosang = jnp.einsum("tcp,tc->tp", t_d, axis)
+    cosmin = jnp.clip(jnp.min(cosang, axis=1), 1e-3)
+    tanmax = jnp.sqrt(jnp.clip(1.0 - cosmin**2, 0.0, 1.0)) / cosmin
+    # max angle between any ray in the tile and the tile axis, as a chord:
+    # |d - axis| = sqrt(2 (1 - cos)); used for the sound t_start lower bound
+    dmax = jnp.sqrt(jnp.clip(2.0 * (1.0 - cosmin), 0.0, 4.0))
+    live = t_mm[:, 0] < t_mm[:, 1]
     big = jnp.float32(1e9)
-    tile_tmin = jnp.min(jnp.where(live, t_mm[..., 0], big), axis=1)
-    tile_tmax = jnp.max(jnp.where(live, t_mm[..., 1], -big), axis=1)
+    tile_tmin = jnp.min(jnp.where(live, t_mm[:, 0], big), axis=1)
+    tile_tmax = jnp.max(jnp.where(live, t_mm[:, 1], -big), axis=1)
 
     centers = primpos[tile_b]
     rads = radii[tile_b]
@@ -100,23 +126,29 @@ def _tile_and_cull(raypos, raydir, tminmax, primpos, primscale, tile, max_hit, d
         & (t_c + rads >= tile_tmin[:, None])
         & (t_c - rads <= tile_tmax[:, None])
         & (tile_tmax > tile_tmin)[:, None]
+        # physical primitive culling (reference: models/autoencoder.py:214-228
+        # drops alpha-masked prims to shrink the march)
+        & (prim_mask[tile_b] > 0.5)
     )
-    key = jnp.where(hit, t_c, jnp.inf)
-    # top_k (nearest-first) instead of a full sort over K per tile
+    # Sound lower bound on the first ray parameter at which the primitive can
+    # contribute for ANY ray of the tile: t >= t_c - rad - |v| * |d - axis|.
+    t_start = t_c - rads - jnp.hypot(t_c, dist) * dmax[:, None]
+    key = jnp.where(hit, t_start, jnp.inf)
+    # top_k (earliest-reachable-first) instead of a full sort over K per tile
     mh = min(max_hit, key.shape[1])
     neg_top, order = jax.lax.top_k(-key, mh)
-    del neg_top
-    cand_valid = jnp.isfinite(jnp.take_along_axis(key, order, axis=1))
+    cand_tstart = -neg_top  # [NT, MH], +inf for invalid
+    cand_valid = jnp.isfinite(cand_tstart)
     cand_gid = tile_b[:, None] * K + order.astype(jnp.int32)
     cand_gid = jnp.where(cand_valid, cand_gid, 0)
 
     meta = dict(n=n, h=h, w=w, hp=hp, wp=wp, nty=nty, ntx=ntx, ntiles=ntiles, tsz=tsz)
-    return t_o, t_d, t_mm, cand_gid, cand_valid, meta
+    return t_o, t_d, t_mm, cand_gid, cand_valid, cand_tstart, meta
 
 
 def _untile(out, meta, tile):
     n, nty, ntx = meta["n"], meta["nty"], meta["ntx"]
-    out = out.reshape(n, nty, ntx, tile, tile, 4).transpose(0, 1, 3, 2, 4, 5)
+    out = out.reshape(n, nty, ntx, 4, tile, tile).transpose(0, 1, 4, 2, 5, 3)
     return out.reshape(n, meta["hp"], meta["wp"], 4)[:, : meta["h"], : meta["w"], :]
 
 
@@ -127,19 +159,40 @@ def _pack_affine(c_pos, c_rot, c_scale):
     return A, b
 
 
-def _gather_and_pack(fp_pos, fp_rot, fp_scale, fp_box, cand_gid, cand_valid, mh, bs):
+def _flatten_volT(vol, bs, nch):
+    """[NK, bs, bs, bs, nch] -> transposed [NK, bs*nch, BZY] with the zy axis
+    zero-padded to a 128-lane multiple (Mosaic dynamic-slice alignment);
+    padded lanes hold zeros so they sample and backprop to nothing."""
+    nk = vol.shape[0]
+    flat = vol.reshape(nk, bs * bs, bs * nch)
+    flat = jnp.pad(flat, ((0, 0), (0, _bzy(bs) - bs * bs), (0, 0)))
+    return flat.transpose(0, 2, 1)
+
+
+def _gather_and_pack(fp_pos, fp_rot, fp_scale, fp_boxT, cand_gid, cand_valid,
+                     cand_tstart, mh, bs, fp_warpT=None):
+    """Per-tile candidate tables: SMEM scalars [NT, MH, 16] (A row-major 0:9,
+    b 9:12, t_start 12), pre-transposed boxes [NT, MH, bs*4, BZY], and
+    (optionally) pre-transposed warp volumes [NT, MH, bs*3, BZY]."""
     ntiles = cand_gid.shape[0]
-    c_box = fp_box[cand_gid]  # [NT, MH, bs^2, bs*4]
+    c_box = fp_boxT[cand_gid]
+    c_warp = None if fp_warpT is None else fp_warpT[cand_gid]
     A, b = _pack_affine(
         fp_pos[cand_gid], fp_rot[cand_gid].reshape(ntiles, mh, 3, 3), fp_scale[cand_gid]
     )
     valid_f = cand_valid.astype(jnp.float32)[..., None]
     A = A * valid_f[..., None]
-    b = b * valid_f + (1.0 - valid_f) * 4.0  # push invalid cands out of the box
-    aff = jnp.zeros((ntiles, mh, 8, 128), jnp.float32)
-    aff = aff.at[:, :, 0:3, 0:3].set(A)
-    aff = aff.at[:, :, 3, 0:3].set(b)
-    return aff, c_box
+    b = b * valid_f + (1.0 - valid_f) * 4.0  # empty slab interval if reached
+    scal = jnp.concatenate(
+        [
+            A.reshape(ntiles, mh, 9),
+            b,
+            jnp.where(cand_valid, cand_tstart, 1e9)[..., None],
+            jnp.zeros((ntiles, mh, 3), jnp.float32),
+        ],
+        axis=-1,
+    )
+    return scal, c_box, c_warp
 
 
 # ---------------------------------------------------------------------------
@@ -164,30 +217,50 @@ def _pow_abs(x, p):
     return jnp.abs(x) ** p
 
 
-def _axis_onehot(cols, f):
-    """Linear-interp weights as a triangle hat: w[t, j] = max(0, 1 - |j - f|)
-    — identical to the (1-frac)/frac one-hot pair but 3 VPU ops/element."""
-    return jnp.maximum(0.0, 1.0 - jnp.abs(cols - f[:, None]))
+def _hat(cols, f):
+    """Linear-interp weights as a triangle hat: w[c, t] = max(0, 1 - |c - f_t|)
+    — identical to the (1-frac)/frac one-hot pair. cols [S,1], f [T2]."""
+    return jnp.maximum(0.0, 1.0 - jnp.abs(cols - f[None, :]))
 
 
-def _axis_onehot_diff(cols, f):
-    """d(w)/d(f): sign(j - f) on the hat's support, 0 elsewhere."""
-    d = cols - f[:, None]
+def _hat_diff(cols, f):
+    """d(w)/d(f): sign(c - f) on the hat's support, 0 elsewhere."""
+    d = cols - f[None, :]
     return jnp.where(jnp.abs(d) < 1.0, jnp.sign(d), 0.0)
 
 
-def _prim_setup(m, ox, oy, oz, dx, dy, dz, tmin, tmax, dt, nbuf):
-    """Slab-test one candidate from its packed affine. Returns the per-ray
-    local ray (origin/direction in primitive coords), the clipped interval,
-    and the tile-coherent step-row range."""
-    a_rows = m[0:3, :]  # [3, 128]
-    b_row = m[3, :]
-    o3 = jnp.stack([ox, oy, oz], axis=-1)  # [T2, 3]
-    d3 = jnp.stack([dx, dy, dz], axis=-1)
-    oa = jnp.dot(o3, a_rows, preferred_element_type=jnp.float32) + b_row[None, :]
-    da = jnp.dot(d3, a_rows, preferred_element_type=jnp.float32)
-    oy0, oy1, oy2 = oa[:, 0], oa[:, 1], oa[:, 2]
-    dy0, dy1, dy2 = da[:, 0], da[:, 1], da[:, 2]
+def _bzy(bs):
+    return _ceil_to(bs * bs, 128)
+
+
+def _col_consts(bs, nch):
+    """Loop-invariant index columns and the x-collapse matrix for an
+    nch-channel volume (hoisted out of the marching loops; zy ordering
+    matches _flatten_volT). zy rows beyond bs^2 are padding: their volume
+    columns are zero, so their weights multiply into nothing."""
+    zy = jax.lax.broadcasted_iota(jnp.int32, (_bzy(bs), 1), 0)
+    zcol = (zy // bs).astype(jnp.float32)
+    ycol = (zy % bs).astype(jnp.float32)
+    xn = jax.lax.broadcasted_iota(jnp.int32, (bs * nch, 1), 0)
+    xcol = (xn // nch).astype(jnp.float32)
+    crow = jax.lax.broadcasted_iota(jnp.int32, (nch, bs * nch), 0)
+    ccol = jax.lax.broadcasted_iota(jnp.int32, (nch, bs * nch), 1)
+    SxT = (ccol % nch == crow).astype(jnp.float32)  # [nch, bs*nch]
+    return zcol, ycol, xcol, SxT
+
+
+def _read_affine(scal_ref, hh):
+    A = [[scal_ref[0, hh, i * 3 + j] for j in range(3)] for i in range(3)]
+    b = [scal_ref[0, hh, 9 + j] for j in range(3)]
+    return A, b
+
+
+def _prim_setup(A, b, ox, oy, oz, dx, dy, dz, tmin, tmax, dt, nbuf):
+    """Slab-test one candidate from its affine scalars. Returns the local ray
+    (origin/direction in primitive coords), the clipped interval, and the
+    tile-coherent step-row range."""
+    oyv = tuple(ox * A[0][j] + oy * A[1][j] + oz * A[2][j] + b[j] for j in range(3))
+    dyv = tuple(dx * A[0][j] + dy * A[1][j] + dz * A[2][j] for j in range(3))
 
     def axis_range(oc, dc):
         dc = jnp.where(jnp.abs(dc) < 1e-9, jnp.where(dc >= 0, 1e-9, -1e-9), dc)
@@ -195,9 +268,9 @@ def _prim_setup(m, ox, oy, oz, dx, dy, dz, tmin, tmax, dt, nbuf):
         t2_ = (1.0 - oc) / dc
         return jnp.minimum(t1, t2_), jnp.maximum(t1, t2_)
 
-    a0, b0 = axis_range(oy0, dy0)
-    a1, b1 = axis_range(oy1, dy1)
-    a2, b2 = axis_range(oy2, dy2)
+    a0, b0 = axis_range(oyv[0], dyv[0])
+    a1, b1 = axis_range(oyv[1], dyv[1])
+    a2, b2 = axis_range(oyv[2], dyv[2])
     tin = jnp.maximum(jnp.maximum(jnp.maximum(a0, a1), a2), tmin)
     tout = jnp.minimum(jnp.minimum(jnp.minimum(b0, b1), b2), tmax)
     seg = tin < tout
@@ -206,60 +279,10 @@ def _prim_setup(m, ox, oy, oz, dx, dy, dz, tmin, tmax, dt, nbuf):
     kout = jnp.ceil((tout - tmin) / dt) + 1.0
     r0 = jnp.maximum(jnp.min(jnp.where(seg, kin, jnp.float32(nbuf))), 0.0)
     r1 = jnp.minimum(jnp.max(jnp.where(seg, kout, 0.0)), float(nbuf))
-    return (oy0, oy1, oy2), (dy0, dy1, dy2), tin, tout, seg, (
-        r0.astype(jnp.int32), r1.astype(jnp.int32)
-    )
+    return oyv, dyv, tin, tout, seg, (r0.astype(jnp.int32), r1.astype(jnp.int32))
 
 
-def _expand_box_to(box128_ref_val, bx64, bs):
-    """Copy a [bs^2/g, 128] lane-native box into a [bs^2, bs*4] VMEM scratch
-    (stores relayout; in-register sublane concat of lane-offset slices is not
-    supported by Mosaic). Row c = m*R + r maps to zy = g*r + m."""
-    w4 = bs * 4
-    g = 128 // w4
-    r = (bs * bs) // g
-    for m in range(g):
-        bx64[m * r : (m + 1) * r, :] = box128_ref_val[:, m * w4 : (m + 1) * w4]
-
-
-def _wzy_cat(fy, fz, bs):
-    """One-hot (z,y) plane weights in the _expand_box row order: column
-    c = m*R + r corresponds to zy = g*r + m."""
-    t2 = fy.shape[0]
-    w4 = bs * 4
-    g = 128 // w4
-    r = (bs * bs) // g
-    c = jax.lax.broadcasted_iota(jnp.int32, (t2, bs * bs), 1)
-    zy = g * (c % r) + c // r
-    zcol = (zy // bs).astype(jnp.float32)
-    ycol = (zy % bs).astype(jnp.float32)
-    return zcol, ycol, _axis_onehot(zcol, fz) * _axis_onehot(ycol, fy)
-
-
-def _sample_box128(box64, y0, y1, y2, bs):
-    """Trilinear sample: one [T2, bs^2] @ [bs^2, bs*4] MXU matmul plus
-    static-slice x interpolation. box64 comes from _expand_box.
-
-    Returns (sample [T2,4], tmp, wzy [T2,bs^2], wx32, (zcol,ycol), (fx,fy,fz)).
-    """
-    t2 = y0.shape[0]
-    fx = (y0 + 1.0) * 0.5 * (bs - 1)
-    fy = (y1 + 1.0) * 0.5 * (bs - 1)
-    fz = (y2 + 1.0) * 0.5 * (bs - 1)
-    zcol, ycol, wzy = _wzy_cat(fy, fz, bs)
-    tmp = jnp.dot(wzy, box64, preferred_element_type=jnp.float32)  # [T2, bs*4]
-    colx = jax.lax.broadcasted_iota(jnp.int32, (t2, bs * 4), 1)
-    xcol = (colx // 4).astype(jnp.float32)
-    wx32 = _axis_onehot(xcol, fx)
-    prod = wx32 * tmp
-    sample = prod[:, 0:4]
-    for x in range(1, bs):
-        sample = sample + prod[:, 4 * x : 4 * x + 4]
-    return sample, tmp, wzy, wx32, (zcol, ycol, xcol), (fx, fy, fz)
-
-
-def _row_state(ox, oy, oz, dx, dy, dz, tmin, tmax, oyv, dyv, tin, tout, seg,
-               rr, dt, fadescale, fadeexp):
+def _row_state(oyv, dyv, tmin, tmax, tin, tout, seg, rr, dt, fadescale, fadeexp):
     """Per-row local coords, fade, and validity mask for one candidate."""
     t = tmin + rr.astype(jnp.float32) * dt  # [T2]
     y0 = oyv[0] + t * dyv[0]
@@ -280,93 +303,186 @@ def _row_state(ox, oy, oz, dx, dy, dz, tmin, tmax, oyv, dyv, tin, tout, seg,
     return t, y0, y1, y2, fade, mask
 
 
+def _sample_T(volT, fx, fy, fz, consts):
+    """Trilinear sample at cell coords (fx, fy, fz), ray-lane-major: one
+    [bs*nch, BZY] @ [BZY, T2] MXU matmul plus an [nch, bs*nch] x-collapse
+    matmul. Zero-padding outside the volume (hat weights vanish). Returns
+    (sT [nch, T2], saved-for-backward)."""
+    zcol, ycol, xcol, SxT = consts
+    wz = _hat(zcol, fz)
+    wy = _hat(ycol, fy)
+    wzyT = wz * wy  # [BZY, T2]
+    tmpT = jnp.dot(volT, wzyT, preferred_element_type=jnp.float32)  # [bs*nch, T2]
+    wxT = _hat(xcol, fx)
+    prodT = wxT * tmpT
+    sT = jnp.dot(SxT, prodT, preferred_element_type=jnp.float32)  # [nch, T2]
+    return sT, (tmpT, wzyT, wz, wy, wxT)
+
+
+def _sample_T_bwd(volT, dsT, saved, fx, fy, fz, consts):
+    """VJP of _sample_T: returns (dvolT [bs*nch, BZY], dfx, dfy, dfz [T2])."""
+    zcol, ycol, xcol, SxT = consts
+    tmpT, wzyT, wz, wy, wxT = saved
+    dprodT = jnp.dot(SxT.T, dsT, preferred_element_type=jnp.float32)  # [bs*nch, T2]
+    dtmpT = wxT * dprodT
+    dvolT = jax.lax.dot_general(
+        dtmpT, wzyT, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [bs*nch, BZY]
+    dwzyT = jax.lax.dot_general(
+        volT, dtmpT, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [BZY, T2]
+    dfy = jnp.sum(wz * _hat_diff(ycol, fy) * dwzyT, axis=0)
+    dfz = jnp.sum(_hat_diff(zcol, fz) * wy * dwzyT, axis=0)
+    dfx = jnp.sum(_hat_diff(xcol, fx) * tmpT * dprodT, axis=0)
+    return dvolT, dfx, dfy, dfz
+
+
+def _sample_chain(boxT, warpT, y0, y1, y2, half, c4, c3):
+    """Sample the RGBA box at y (or, with a warp volume, at warp(y)).
+    Returns (sampleT [4, T2], saved) where saved carries everything
+    _sample_chain_bwd needs."""
+    fx, fy, fz = (y0 + 1.0) * half, (y1 + 1.0) * half, (y2 + 1.0) * half
+    if warpT is None:
+        sampleT, sv = _sample_T(boxT, fx, fy, fz, c4)
+        return sampleT, (sv, (fx, fy, fz), None, None)
+    swT, sv_w = _sample_T(warpT, fx, fy, fz, c3)
+    f2 = ((swT[0, :] + 1.0) * half, (swT[1, :] + 1.0) * half,
+          (swT[2, :] + 1.0) * half)
+    sampleT, sv_b = _sample_T(boxT, *f2, c4)
+    return sampleT, (sv_b, f2, sv_w, (fx, fy, fz))
+
+
+def _sample_chain_bwd(boxT, warpT, dST, saved, half, c4, c3):
+    """VJP of _sample_chain: (dboxT, dwarpT-or-None, dy0, dy1, dy2)."""
+    sv_b, f_b, sv_w, f_w = saved
+    dboxT, dfx2, dfy2, dfz2 = _sample_T_bwd(boxT, dST, sv_b, *f_b, c4)
+    if warpT is None:
+        return dboxT, None, dfx2 * half, dfy2 * half, dfz2 * half
+    dswT = jnp.stack([dfx2, dfy2, dfz2], axis=0) * half  # [3, T2]
+    dwarpT, dfxw, dfyw, dfzw = _sample_T_bwd(warpT, dswT, sv_w, *f_w, c3)
+    return dboxT, dwarpT, dfxw * half, dfyw * half, dfzw * half
+
+
+def _phase_march(
+    scal_ref, boxes_ref, warps_ref, acc, c4, c3,
+    ox, oy, oz, dx, dy, dz, tmin, tmax,
+    *, dt, fadescale, fadeexp, max_hit, nbuf, bs,
+):
+    """March all needed candidates, accumulating density/color into the step
+    buffers. Shared by the forward kernel and backward phase A. Returns
+    (hh_stop, rmin, rmax). Terminates exactly (see module docstring)."""
+    live = tmin < tmax
+    t2 = ox.shape[0]
+    dead = jnp.where(live, 0.0, 2.0)
+    tmin_live_max = jnp.max(jnp.where(live, tmin, -jnp.inf))
+    half = 0.5 * (bs - 1)
+
+    def cond(carry):
+        hh, tnext, r_scan, cum, rmin, rmax = carry
+        boosted = cum + dead + jnp.where(tnext >= tmax, 2.0, 0.0)
+        return (hh < max_hit) & (tnext < 1e8) & (jnp.min(boosted) < 1.0)
+
+    def body(carry):
+        hh, tnext, r_scan, cum, rmin, rmax = carry
+        A, b = _read_affine(scal_ref, hh)
+        oyv, dyv, tin, tout, seg, (r0i, r1i) = _prim_setup(
+            A, b, ox, oy, oz, dx, dy, dz, tmin, tmax, dt, nbuf
+        )
+        rmin = jnp.where(r1i > r0i, jnp.minimum(rmin, r0i), rmin)
+        rmax = jnp.where(r1i > r0i, jnp.maximum(rmax, r1i), rmax)
+        boxT = boxes_ref[0, hh]
+        warpT = None if warps_ref is None else warps_ref[0, hh]
+
+        def row_body(rr, _):
+            _, y0, y1, y2, fade, mask = _row_state(
+                oyv, dyv, tmin, tmax, tin, tout, seg, rr, dt, fadescale, fadeexp
+            )
+            sampleT, _ = _sample_chain(boxT, warpT, y0, y1, y2, half, c4, c3)
+            u = fade * dt * mask
+            a = sampleT[3, :] * u
+            rc = jnp.minimum(rr, nbuf - 1)
+            acc[rc, 0:3, :] += sampleT[0:3, :] * a[None, :]
+            acc[rc, 3, :] += a
+            return 0
+
+        def row2_body(i, c):
+            rr = r0i + 2 * i
+            return row_body(rr + 1, row_body(rr, c))
+
+        jax.lax.fori_loop(0, (r1i - r0i + 1) // 2, row2_body, 0)
+
+        nh = jnp.minimum(hh + 1, max_hit - 1)
+        tnext2 = jnp.where(hh + 1 < max_hit, scal_ref[0, nh, 12], jnp.float32(1e9))
+        # advance the saturation scan to the last row strictly before any
+        # remaining candidate's earliest reachable ray parameter
+        rhi = jnp.clip(
+            jnp.floor((tnext2 - tmin_live_max) / dt), 0.0, float(nbuf)
+        ).astype(jnp.int32)
+
+        def scan_body(r, cum):
+            return cum + acc[r, 3, :]
+
+        cum = jax.lax.fori_loop(r_scan, jnp.maximum(rhi, r_scan), scan_body, cum)
+        return hh + 1, tnext2, jnp.maximum(rhi, r_scan), cum, rmin, rmax
+
+    t2f = jnp.zeros((t2,), jnp.float32)
+    hh_stop, _, _, _, rmin, rmax = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), scal_ref[0, 0, 12], jnp.int32(0), t2f,
+         jnp.int32(nbuf), jnp.int32(0)),
+    )
+    return hh_stop, jnp.minimum(rmin, rmax), rmax
+
+
 # ---------------------------------------------------------------------------
 # Forward kernel
 # ---------------------------------------------------------------------------
 
 
 def _fwd_kernel(
-    o_ref, d_ref, mm_ref, aff_ref, boxes_ref,
-    out_ref, acc, bx64,
-    *, dt, fadescale, fadeexp, max_hit, nbuf, bs,
+    scal_ref, o_ref, d_ref, mm_ref, boxes_ref, *rest,
+    dt, fadescale, fadeexp, max_hit, nbuf, bs, dowarp,
 ):
-    t2 = o_ref.shape[1]
-    ox, oy, oz = o_ref[0, :, 0], o_ref[0, :, 1], o_ref[0, :, 2]
-    dx, dy, dz = d_ref[0, :, 0], d_ref[0, :, 1], d_ref[0, :, 2]
-    tmin = mm_ref[0, :, 0]
-    tmax = mm_ref[0, :, 1]
+    if dowarp:
+        warps_ref, out_ref, acc = rest
+    else:
+        out_ref, acc = rest
+        warps_ref = None
+    t2 = o_ref.shape[2]
+    ox, oy, oz = o_ref[0, 0, :], o_ref[0, 1, :], o_ref[0, 2, :]
+    dx, dy, dz = d_ref[0, 0, :], d_ref[0, 1, :], d_ref[0, 2, :]
+    tmin = mm_ref[0, 0, :]
+    tmax = mm_ref[0, 1, :]
+    c4 = _col_consts(bs, 4)
+    c3 = _col_consts(bs, 3)
 
     acc[...] = jnp.zeros_like(acc)
-
-    # Candidates are depth-sorted; once every live ray has accumulated
-    # density >= 1 + slack, farther candidates cannot contribute (the
-    # saturating composite zeroes their rows) — the same early-out the
-    # reference CUDA march performs per warp (primaccum.h termination).
-    def prim_cond(carry):
-        hh, dtot, rmin, rmax = carry
-        return (hh < max_hit) & (jnp.min(dtot) < 1.5)
-
-    def prim_body(carry):
-        hh, dtot, rmin, rmax = carry
-        m = aff_ref[0, hh]
-        oyv, dyv, tin, tout, seg, (r0i, r1i) = _prim_setup(
-            m, ox, oy, oz, dx, dy, dz, tmin, tmax, dt, nbuf
-        )
-        rmin = jnp.where(r1i > r0i, jnp.minimum(rmin, r0i), rmin)
-        rmax = jnp.where(r1i > r0i, jnp.maximum(rmax, r1i), rmax)
-        _expand_box_to(boxes_ref[0, hh], bx64, bs)
-        box64 = bx64[...]
-
-        def row_body(rr, dtot):
-            _, y0, y1, y2, fade, mask = _row_state(
-                ox, oy, oz, dx, dy, dz, tmin, tmax, oyv, dyv, tin, tout, seg,
-                rr, dt, fadescale, fadeexp,
-            )
-            sample, *_ = _sample_box128(box64, y0, y1, y2, bs)
-            u = fade * dt * mask
-            a = sample[:, 3] * u
-            rr = jnp.minimum(rr, nbuf - 1)
-            acc[rr, :, :] += jnp.stack(
-                [a * sample[:, 0], a * sample[:, 1], a * sample[:, 2], a], axis=0
-            )
-            return dtot + a
-
-        def row2_body(i, dtot):
-            rr = r0i + 2 * i
-            return row_body(rr + 1, row_body(rr, dtot))
-
-        dtot = jax.lax.fori_loop(0, (r1i - r0i + 1) // 2, row2_body, dtot)
-        return hh + 1, dtot, rmin, rmax
-
-    t2f = jnp.zeros((t2,), jnp.float32)
-    dead_boost = jnp.where(tmin < tmax, 0.0, 2.0)
-    _, _, rmin, rmax = jax.lax.while_loop(
-        prim_cond, prim_body,
-        (jnp.int32(0), t2f + dead_boost, jnp.int32(nbuf), jnp.int32(0)),
+    _, rmin, rmax = _phase_march(
+        scal_ref, boxes_ref, warps_ref, acc, c4, c3,
+        ox, oy, oz, dx, dy, dz, tmin, tmax,
+        dt=dt, fadescale=fadescale, fadeexp=fadeexp,
+        max_hit=max_hit, nbuf=nbuf, bs=bs,
     )
 
     def comp_body(rr, carry):
         cum, rgb0, rgb1, rgb2 = carry
-        row = acc[rr, :, :]
-        a = row[3, :]
+        a = acc[rr, 3, :]
         new = cum + a
         contrib = jnp.minimum(new, 1.0) - jnp.minimum(cum, 1.0)
         scale = contrib / jnp.maximum(a, 1e-12)
         return (
             new,
-            rgb0 + scale * row[0, :],
-            rgb1 + scale * row[1, :],
-            rgb2 + scale * row[2, :],
+            rgb0 + scale * acc[rr, 0, :],
+            rgb1 + scale * acc[rr, 1, :],
+            rgb2 + scale * acc[rr, 2, :],
         )
 
     zero = jnp.zeros((t2,), jnp.float32)
-    cum, rgb0, rgb1, rgb2 = jax.lax.fori_loop(
-        jnp.minimum(rmin, rmax), rmax, comp_body, (zero,) * 4
-    )
-    out_ref[0, :, 0] = rgb0
-    out_ref[0, :, 1] = rgb1
-    out_ref[0, :, 2] = rgb2
-    out_ref[0, :, 3] = jnp.minimum(cum, 1.0)
+    cum, rgb0, rgb1, rgb2 = jax.lax.fori_loop(rmin, rmax, comp_body, (zero,) * 4)
+    out_ref[0, 0, :] = rgb0
+    out_ref[0, 1, :] = rgb1
+    out_ref[0, 2, :] = rgb2
+    out_ref[0, 3, :] = jnp.minimum(cum, 1.0)
 
 
 # ---------------------------------------------------------------------------
@@ -376,67 +492,42 @@ def _fwd_kernel(
 
 def _bwd_kernel(
     gid_ref,  # scalar-prefetch: [NT, MH] int32 (-1 = invalid)
-    o_ref, d_ref, mm_ref, aff_ref, boxes_ref, g_ref, gbox_in, gaff_in,
-    gbox_out, gaff_out, acc, comp, dbox, daff, stage_box, stage_aff, bx64, sems,
-    *, dt, fadescale, fadeexp, max_hit, nbuf, bs,
+    scal_ref, o_ref, d_ref, mm_ref, boxes_ref, *rest,
+    dt, fadescale, fadeexp, max_hit, nbuf, bs, dowarp,
 ):
-    """See module docstring. gbox/gaff are HBM accumulators aliased
-    input->output; the sequential tile grid makes read-modify-write safe."""
-    del gbox_in, gaff_in  # aliased to the outputs; accessed via *_out refs
+    """See module docstring. gbox/gaff (and gwarp with warp fields) are HBM
+    accumulators aliased input->output; the sequential tile grid makes
+    read-modify-write safe."""
+    if dowarp:
+        (warps_ref, g_ref, _gb_in, _ga_in, _gw_in,
+         gbox_out, gaff_out, gwarp_out,
+         acc, comp, dbuf, dafbuf, dwbuf, dbox, dafscr, dwarp,
+         stage_box, stage_aff, stage_warp, sems) = rest
+    else:
+        (g_ref, _gb_in, _ga_in,
+         gbox_out, gaff_out,
+         acc, comp, dbuf, dafbuf, dbox, dafscr,
+         stage_box, stage_aff, sems) = rest
+        warps_ref = dwbuf = dwarp = stage_warp = gwarp_out = None
     tile_i = pl.program_id(0)
-    t2 = o_ref.shape[1]
-    ox, oy, oz = o_ref[0, :, 0], o_ref[0, :, 1], o_ref[0, :, 2]
-    dx, dy, dz = d_ref[0, :, 0], d_ref[0, :, 1], d_ref[0, :, 2]
-    tmin = mm_ref[0, :, 0]
-    tmax = mm_ref[0, :, 1]
-    g0, g1, g2, g3 = g_ref[0, :, 0], g_ref[0, :, 1], g_ref[0, :, 2], g_ref[0, :, 3]
+    t2 = o_ref.shape[2]
+    ox, oy, oz = o_ref[0, 0, :], o_ref[0, 1, :], o_ref[0, 2, :]
+    dx, dy, dz = d_ref[0, 0, :], d_ref[0, 1, :], d_ref[0, 2, :]
+    tmin = mm_ref[0, 0, :]
+    tmax = mm_ref[0, 1, :]
+    g0, g1, g2, g3 = g_ref[0, 0, :], g_ref[0, 1, :], g_ref[0, 2, :], g_ref[0, 3, :]
+    c4 = _col_consts(bs, 4)
+    c3 = _col_consts(bs, 3)
+    half = 0.5 * (bs - 1)
 
     # ---- phase A: rebuild the density/color step buffers ----
     acc[...] = jnp.zeros_like(acc)
-
-    def prim_cond(carry):
-        hh, dtot, rmin, rmax = carry
-        return (hh < max_hit) & (jnp.min(dtot) < 1.5)
-
-    def prim_fwd(carry):
-        hh, dtot, rmin, rmax = carry
-        m = aff_ref[0, hh]
-        oyv, dyv, tin, tout, seg, (r0i, r1i) = _prim_setup(
-            m, ox, oy, oz, dx, dy, dz, tmin, tmax, dt, nbuf
-        )
-        rmin = jnp.where(r1i > r0i, jnp.minimum(rmin, r0i), rmin)
-        rmax = jnp.where(r1i > r0i, jnp.maximum(rmax, r1i), rmax)
-        _expand_box_to(boxes_ref[0, hh], bx64, bs)
-        box64 = bx64[...]
-
-        def row_body(rr, dtot):
-            _, y0, y1, y2, fade, mask = _row_state(
-                ox, oy, oz, dx, dy, dz, tmin, tmax, oyv, dyv, tin, tout, seg,
-                rr, dt, fadescale, fadeexp,
-            )
-            sample, *_ = _sample_box128(box64, y0, y1, y2, bs)
-            u = fade * dt * mask
-            a = sample[:, 3] * u
-            rr = jnp.minimum(rr, nbuf - 1)
-            acc[rr, :, :] += jnp.stack(
-                [a * sample[:, 0], a * sample[:, 1], a * sample[:, 2], a], axis=0
-            )
-            return dtot + a
-
-        def row2_body(i, dtot):
-            rr = r0i + 2 * i
-            return row_body(rr + 1, row_body(rr, dtot))
-
-        dtot = jax.lax.fori_loop(0, (r1i - r0i + 1) // 2, row2_body, dtot)
-        return hh + 1, dtot, rmin, rmax
-
-    dead_boost = jnp.where(tmin < tmax, 0.0, 2.0)
-    _, _, rmin, rmax = jax.lax.while_loop(
-        prim_cond, prim_fwd,
-        (jnp.int32(0), jnp.zeros((t2,), jnp.float32) + dead_boost,
-         jnp.int32(nbuf), jnp.int32(0)),
+    hh_stop, rmin, rmax = _phase_march(
+        scal_ref, boxes_ref, warps_ref, acc, c4, c3,
+        ox, oy, oz, dx, dy, dz, tmin, tmax,
+        dt=dt, fadescale=fadescale, fadeexp=fadeexp,
+        max_hit=max_hit, nbuf=nbuf, bs=bs,
     )
-    rmin = jnp.minimum(rmin, rmax)
 
     # ---- phase B: composite cotangents per row ----
     # forward scan: store contrib/a ("cscale") and post-row cumulative density
@@ -445,7 +536,8 @@ def _bwd_kernel(
         a = acc[rr, 3, :]
         new = cum + a
         contrib = jnp.minimum(new, 1.0) - jnp.minimum(cum, 1.0)
-        comp[rr, :, :] = jnp.stack([contrib / jnp.maximum(a, 1e-12), new], axis=0)
+        comp[rr, 0, :] = contrib / jnp.maximum(a, 1e-12)
+        comp[rr, 1, :] = new
         satrow = jnp.where((cum < 1.0) & (new >= 1.0), jnp.float32(rr), satrow)
         return new, satrow
 
@@ -465,158 +557,128 @@ def _bwd_kernel(
     def comp_rev(i, carry):
         rev, w_next = carry
         rr = rmax - 1 - i
-        row = acc[rr, :, :]
-        a = row[3, :]
-        w = (g0 * row[0, :] + g1 * row[1, :] + g2 * row[2, :]) / jnp.maximum(
-            a, 1e-12
+        a = acc[rr, 3, :]
+        w = (g0 * acc[rr, 0, :] + g1 * acc[rr, 1, :] + g2 * acc[rr, 2, :]) / (
+            jnp.maximum(a, 1e-12)
         )
-        crow = comp[rr, :, :]
-        q = (crow[1, :] < 1.0).astype(jnp.float32)
+        q = (comp[rr, 1, :] < 1.0).astype(jnp.float32)
         rev = rev + q * (w - w_next)
-        comp[rr, 1, :] = -crow[0, :] * w + rev + g3 * q_final
+        comp[rr, 1, :] = -comp[rr, 0, :] * w + rev + g3 * q_final
         return rev, w
 
     zero = jnp.zeros((t2,), jnp.float32)
     jax.lax.fori_loop(0, rmax - rmin, comp_rev, (zero, zero))
 
-    # ---- phase C: re-march, chain per-sample cotangents, accumulate ----
-    half = 0.5 * (bs - 1)
+    # ---- phase C: re-march, chain per-sample cotangents into VMEM buffers ----
+    def prim_bwd(hh, _):
+        A, b = _read_affine(scal_ref, hh)
+        oyv, dyv, tin, tout, seg, (r0i, r1i) = _prim_setup(
+            A, b, ox, oy, oz, dx, dy, dz, tmin, tmax, dt, nbuf
+        )
+        boxT = boxes_ref[0, hh]
+        warpT = None if warps_ref is None else warps_ref[0, hh]
+        r1i = jnp.minimum(r1i, tile_satrow_i)
+        r0i = jnp.maximum(r0i, rmin)
+        dbox[...] = jnp.zeros_like(dbox)
+        dafscr[...] = jnp.zeros_like(dafscr)
+        if dowarp:
+            dwarp[...] = jnp.zeros_like(dwarp)
 
-    def prim_bwd_cond(carry):
-        hh, dtot = carry
-        return (hh < max_hit) & (jnp.min(dtot) < 1.5)
-
-    def prim_bwd(carry):
-        hh, dtot = carry
-        gid = gid_ref[tile_i, hh]
-        if True:
-            m = aff_ref[0, hh]
-            oyv, dyv, tin, tout, seg, (r0i, r1i) = _prim_setup(
-                m, ox, oy, oz, dx, dy, dz, tmin, tmax, dt, nbuf
+        def row_body(rr, _):
+            t, y0, y1, y2, fade, mask = _row_state(
+                oyv, dyv, tmin, tmax, tin, tout, seg, rr, dt, fadescale, fadeexp
             )
-            _expand_box_to(boxes_ref[0, hh], bx64, bs)
-            box64 = bx64[...]
-            r1i = jnp.minimum(r1i, tile_satrow_i)
-            r0i = jnp.maximum(r0i, rmin)
-            dbox[...] = jnp.zeros_like(dbox)
-            daff[...] = jnp.zeros_like(daff)
+            sampleT, saved = _sample_chain(boxT, warpT, y0, y1, y2, half, c4, c3)
+            u = fade * dt * mask
+            A_s = sampleT[3, :]
+            # The two-row loop can step one row past the written
+            # [rmin, rmax) comp range; gate the reads (uninitialized
+            # scratch would otherwise inject NaN * 0).
+            in_range = (rr >= rmin) & (rr < rmax)
+            rc = jnp.minimum(rr, nbuf - 1)
+            da_r = jnp.where(in_range, comp[rc, 1, :], 0.0)
+            csc = jnp.where(in_range, comp[rc, 0, :], 0.0)
+            dldc0, dldc1, dldc2 = g0 * csc, g1 * csc, g2 * csc
+            rgb_dot = (
+                dldc0 * sampleT[0, :] + dldc1 * sampleT[1, :] + dldc2 * sampleT[2, :]
+            )
+            dS0 = dldc0 * A_s * u
+            dS1 = dldc1 * A_s * u
+            dS2 = dldc2 * A_s * u
+            dS3 = (da_r + rgb_dot) * u
+            g_u = (da_r + rgb_dot) * A_s  # dL/du
 
-            def row_body(rr, dtot):
-                t, y0, y1, y2, fade, mask = _row_state(
-                    ox, oy, oz, dx, dy, dz, tmin, tmax, oyv, dyv, tin, tout,
-                    seg, rr, dt, fadescale, fadeexp,
-                )
-                sample, tmp, wzy, wx32, (zcol, ycol, xcol2), (fx, fy, fz) = (
-                    _sample_box128(box64, y0, y1, y2, bs)
-                )
+            dST = jnp.stack([dS0, dS1, dS2, dS3], axis=0)  # [4, T2]
+            dboxT, dwarpT, dy0s, dy1s, dy2s = _sample_chain_bwd(
+                boxT, warpT, dST, saved, half, c4, c3
+            )
+            dbox[...] += dboxT
+            if dowarp:
+                dwarp[...] += dwarpT
+            # fade path: dfade = g_u * dt * mask; dfade/dy = -fs*fe*|y|^(fe-1)*sign(y)*fade
+            dfade = g_u * dt * mask
+            c = -fadescale * fadeexp
+            dy0 = dy0s + dfade * fade * c * _pow_abs(y0, fadeexp - 1) * jnp.sign(y0)
+            dy1 = dy1s + dfade * fade * c * _pow_abs(y1, fadeexp - 1) * jnp.sign(y1)
+            dy2 = dy2s + dfade * fade * c * _pow_abs(y2, fadeexp - 1) * jnp.sign(y2)
 
-                u = fade * dt * mask
-                A_s = sample[:, 3]
-                a = A_s * u  # density contribution (for early termination)
-                # The two-row loop can step one row past the written
-                # [rmin, rmax) comp range; gate the reads (uninitialized
-                # scratch would otherwise inject NaN * 0).
-                in_range = (rr >= rmin) & (rr < rmax)
-                rr = jnp.minimum(rr, nbuf - 1)
-                crow = comp[rr, :, :]
-                da_r = jnp.where(in_range, crow[1, :], 0.0)
-                csc = jnp.where(in_range, crow[0, :], 0.0)
-                dldc0, dldc1, dldc2 = g0 * csc, g1 * csc, g2 * csc
-                rgb_dot = (
-                    dldc0 * sample[:, 0] + dldc1 * sample[:, 1] + dldc2 * sample[:, 2]
-                )
-                dS0 = dldc0 * A_s * u
-                dS1 = dldc1 * A_s * u
-                dS2 = dldc2 * A_s * u
-                dS3 = (da_r + rgb_dot) * u
-                g_u = (da_r + rgb_dot) * A_s  # dL/du
+            # affine gradient: y = pos @ A + b; dA += pos^T dy, db += sum(dy),
+            # via an augmented [4, T2] position against [3, T2] cotangents.
+            pos4 = jnp.stack(
+                [ox + dx * t, oy + dy * t, oz + dz * t, jnp.ones_like(t)], axis=0
+            )
+            dyT = jnp.stack([dy0, dy1, dy2], axis=0)
+            dafscr[0:4, 0:3] += jax.lax.dot_general(
+                pos4, dyT, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return 0
 
-                dS = jnp.stack([dS0, dS1, dS2, dS3], axis=-1)  # [T2, 4]
-                dS_tiled = jnp.concatenate([dS] * bs, axis=1)  # [T2, bs*4]
-                dtmp = wx32 * dS_tiled
+        def row2_body(i, c):
+            rr = r0i + 2 * i
+            return row_body(rr + 1, row_body(rr, c))
 
-                # template gradient + (z,y) weight cotangents — single
-                # matmuls in the expanded box layout
-                dbox[...] += jax.lax.dot_general(
-                    wzy, dtmp, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # [bs^2, bs*4]
-                dwzy = jax.lax.dot_general(
-                    dtmp, box64, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # [T2, bs^2]
-                dfy = jnp.sum(
-                    _axis_onehot(zcol, fz) * _axis_onehot_diff(ycol, fy) * dwzy,
-                    axis=1,
-                )
-                dfz = jnp.sum(
-                    _axis_onehot_diff(zcol, fz) * _axis_onehot(ycol, fy) * dwzy,
-                    axis=1,
-                )
-                prod2 = tmp * dS_tiled
-                dfx = jnp.sum(_axis_onehot_diff(xcol2, fx) * prod2, axis=1)
-                # fade path: dfade = g_u * dt * mask; dfade/dy = -fs*fe*|y|^(fe-1)*sign(y)*fade
-                dfade = g_u * dt * mask
-                c = -fadescale * fadeexp
-                dy0f = dfade * fade * c * _pow_abs(y0, fadeexp - 1) * jnp.sign(y0)
-                dy1f = dfade * fade * c * _pow_abs(y1, fadeexp - 1) * jnp.sign(y1)
-                dy2f = dfade * fade * c * _pow_abs(y2, fadeexp - 1) * jnp.sign(y2)
-                dy0 = dfx * half + dy0f
-                dy1 = dfy * half + dy1f
-                dy2 = dfz * half + dy2f
+        jax.lax.fori_loop(0, (r1i - r0i + 1) // 2, row2_body, 0)
+        dbuf[hh] = dbox[...]
+        dafbuf[hh] = dafscr[...]
+        if dowarp:
+            dwbuf[hh] = dwarp[...]
+        return 0
 
-                # affine gradient: y = pos @ A + b; daff[0:3] += pos^T dy,
-                # daff[3] += sum(dy). Use an augmented [T2, 4] position.
-                posx = ox + dx * t
-                posy = oy + dy * t
-                posz = oz + dz * t
-                pos4 = jnp.stack([posx, posy, posz, jnp.ones_like(posx)], axis=-1)
-                dyv3 = jnp.stack([dy0, dy1, dy2], axis=-1)  # [T2, 3]
-                daff[0:4, 0:3] += jax.lax.dot_general(
-                    pos4, dyv3, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                return dtot + a
+    jax.lax.fori_loop(0, hh_stop, prim_bwd, 0)
 
-            def row2_body(i, dtot):
-                rr = r0i + 2 * i
-                return row_body(rr + 1, row_body(rr, dtot))
+    # ---- drain: fold per-tile gradient buffers into the HBM accumulators ----
+    def drain(hh, _):
+        gid = gid_ref[tile_i, hh]
 
-            dtot = jax.lax.fori_loop(0, (r1i - r0i + 1) // 2, row2_body, dtot)
+        @pl.when(gid >= 0)
+        def _():
+            cp1 = pltpu.make_async_copy(gbox_out.at[gid], stage_box, sems.at[0])
+            cp1.start()
+            cp3 = pltpu.make_async_copy(gaff_out.at[gid], stage_aff, sems.at[1])
+            cp3.start()
+            cp1.wait()
+            stage_box[...] += dbuf[hh]
+            cp2 = pltpu.make_async_copy(stage_box, gbox_out.at[gid], sems.at[0])
+            cp2.start()
+            cp3.wait()
+            stage_aff[...] += dafbuf[hh]
+            cp2.wait()
+            cp4 = pltpu.make_async_copy(stage_aff, gaff_out.at[gid], sems.at[1])
+            cp4.start()
+            cp4.wait()
+            if dowarp:
+                cp5 = pltpu.make_async_copy(gwarp_out.at[gid], stage_warp, sems.at[0])
+                cp5.start()
+                cp5.wait()
+                stage_warp[...] += dwbuf[hh]
+                cp6 = pltpu.make_async_copy(stage_warp, gwarp_out.at[gid], sems.at[0])
+                cp6.start()
+                cp6.wait()
 
-            # Read-modify-write the global accumulators for this primitive
-            # (guarded: invalid candidates carry gid = -1; prims whose rows
-            # were all culled have zero gradients and skip the DMA).
-            @pl.when((gid >= 0) & (r1i > r0i))
-            def _():
-                cp1 = pltpu.make_async_copy(gbox_out.at[gid], stage_box, sems.at[0])
-                cp1.start()
-                cp1.wait()
-                w4 = bs * 4
-                g_ = 128 // w4
-                r_ = (bs * bs) // g_
-                for m_ in range(g_):
-                    stage_box[:, m_ * w4 : (m_ + 1) * w4] += dbox[
-                        m_ * r_ : (m_ + 1) * r_, :
-                    ]
-                cp2 = pltpu.make_async_copy(stage_box, gbox_out.at[gid], sems.at[0])
-                cp2.start()
-                cp2.wait()
+        return 0
 
-                cp3 = pltpu.make_async_copy(gaff_out.at[gid], stage_aff, sems.at[1])
-                cp3.start()
-                cp3.wait()
-                stage_aff[...] += daff[...]
-                cp4 = pltpu.make_async_copy(stage_aff, gaff_out.at[gid], sems.at[1])
-                cp4.start()
-                cp4.wait()
-
-        return hh + 1, dtot
-
-    jax.lax.while_loop(
-        prim_bwd_cond, prim_bwd,
-        (jnp.int32(0), jnp.zeros((t2,), jnp.float32) + dead_boost),
-    )
+    jax.lax.fori_loop(0, hh_stop, drain, 0)
 
 
 # ---------------------------------------------------------------------------
@@ -624,113 +686,153 @@ def _bwd_kernel(
 # ---------------------------------------------------------------------------
 
 
-def _bspec(block):
-    return pl.BlockSpec(block, lambda i, *_refs: (i,) + (0,) * (len(block) - 1))
+def _bspec(block, space=None):
+    kw = {} if space is None else dict(memory_space=space)
+    return pl.BlockSpec(block, lambda i, *_refs: (i,) + (0,) * (len(block) - 1), **kw)
 
 
-def _forward_pallas(t_o, t_d, t_mm, aff, c_box, cfg):
-    ntiles, tsz = t_o.shape[0], t_o.shape[1]
-    mh, bs = aff.shape[1], cfg["bs"]
+def _forward_pallas(scal, t_o, t_d, t_mm, c_box, c_warp, cfg):
+    ntiles, tsz = t_o.shape[0], t_o.shape[2]
+    mh, bs = scal.shape[1], cfg["bs"]
+    dowarp = c_warp is not None
     kernel = partial(
         _fwd_kernel, dt=cfg["dt"], fadescale=cfg["fadescale"],
         fadeexp=cfg["fadeexp"], max_hit=mh, nbuf=cfg["nbuf"], bs=bs,
+        dowarp=dowarp,
     )
+    in_specs = [
+        _bspec((1, mh, 16), pltpu.SMEM),
+        _bspec((1, 3, tsz)),
+        _bspec((1, 3, tsz)),
+        _bspec((1, 2, tsz)),
+        _bspec((1, mh, bs * 4, _bzy(bs))),
+    ]
+    args = [scal, t_o, t_d, t_mm, c_box]
+    if dowarp:
+        in_specs.append(_bspec((1, mh, bs * 3, _bzy(bs))))
+        args.append(c_warp)
     return pl.pallas_call(
         kernel,
         grid=(ntiles,),
-        in_specs=[
-            _bspec((1, tsz, 3)),
-            _bspec((1, tsz, 3)),
-            _bspec((1, tsz, 2)),
-            _bspec((1, mh, 8, 128)),
-            _bspec((1, mh, (bs * bs * bs * 4) // 128, 128)),
-        ],
-        out_specs=_bspec((1, tsz, 4)),
-        out_shape=jax.ShapeDtypeStruct((ntiles, tsz, 4), jnp.float32),
+        in_specs=in_specs,
+        out_specs=_bspec((1, 4, tsz)),
+        out_shape=jax.ShapeDtypeStruct((ntiles, 4, tsz), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((cfg["nbuf"], 4, tsz), jnp.float32),
-            pltpu.VMEM((bs * bs, bs * 4), jnp.float32),  # expanded box
         ],
         interpret=cfg["interpret"],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
-    )(t_o, t_d, t_mm, aff, c_box)
+    )(*args)
 
 
-def _backward_pallas(gid_sp, t_o, t_d, t_mm, aff, c_box, g_tiles, nk, cfg):
+def _backward_pallas(gid_sp, scal, t_o, t_d, t_mm, c_box, c_warp, g_tiles, nk, cfg):
     """Runs the backward kernel over tile chunks (the scalar-prefetched gid
     table must fit SMEM), threading the HBM gradient accumulators through the
     chunk calls by input/output aliasing."""
-    ntiles, tsz = t_o.shape[0], t_o.shape[1]
-    mh, bs = aff.shape[1], cfg["bs"]
+    ntiles, tsz = t_o.shape[0], t_o.shape[2]
+    mh, bs = scal.shape[1], cfg["bs"]
     nbuf = cfg["nbuf"]
+    dowarp = c_warp is not None
     kernel = partial(
         _bwd_kernel, dt=cfg["dt"], fadescale=cfg["fadescale"],
-        fadeexp=cfg["fadeexp"], max_hit=mh, nbuf=nbuf, bs=bs,
+        fadeexp=cfg["fadeexp"], max_hit=mh, nbuf=nbuf, bs=bs, dowarp=dowarp,
     )
-    gbox = jnp.zeros((nk, (bs * bs * bs * 4) // 128, 128), jnp.float32)
+    gbox = jnp.zeros((nk, bs * 4, _bzy(bs)), jnp.float32)
     gaff = jnp.zeros((nk, 8, 128), jnp.float32)
+    gwarp = jnp.zeros((nk, bs * 3, _bzy(bs)), jnp.float32) if dowarp else None
 
     # SMEM holds ~1MB of prefetched scalars; keep each chunk's gid table small.
     chunk = max(1, min(ntiles, (256 * 1024) // (mh * 4)))
     nchunks = -(-ntiles // chunk)
 
     def call(args):
-        gid_c, o_c, d_c, mm_c, aff_c, box_c, g_c, gbox_c, gaff_c = args
+        if dowarp:
+            (gid_c, scal_c, o_c, d_c, mm_c, box_c, warp_c, g_c,
+             gbox_c, gaff_c, gwarp_c) = args
+        else:
+            gid_c, scal_c, o_c, d_c, mm_c, box_c, g_c, gbox_c, gaff_c = args
         nt_c = o_c.shape[0]
+        in_specs = [
+            _bspec((1, mh, 16), pltpu.SMEM),
+            _bspec((1, 3, tsz)),
+            _bspec((1, 3, tsz)),
+            _bspec((1, 2, tsz)),
+            _bspec((1, mh, bs * 4, _bzy(bs))),
+        ]
+        if dowarp:
+            in_specs.append(_bspec((1, mh, bs * 3, _bzy(bs))))
+        in_specs.append(_bspec((1, 4, tsz)))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))  # gbox acc
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))  # gaff acc
+        out_specs = [
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((nk, bs * 4, _bzy(bs)), jnp.float32),
+            jax.ShapeDtypeStruct((nk, 8, 128), jnp.float32),
+        ]
+        scratch = [
+            pltpu.VMEM((nbuf, 4, tsz), jnp.float32),  # acc
+            pltpu.VMEM((nbuf, 2, tsz), jnp.float32),  # comp (cscale, da)
+            pltpu.VMEM((mh, bs * 4, _bzy(bs)), jnp.float32),  # dbuf
+            pltpu.VMEM((mh, 8, 128), jnp.float32),  # dafbuf
+        ]
+        if dowarp:
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))  # gwarp acc
+            out_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
+            out_shape.append(
+                jax.ShapeDtypeStruct((nk, bs * 3, _bzy(bs)), jnp.float32)
+            )
+            scratch.append(pltpu.VMEM((mh, bs * 3, _bzy(bs)), jnp.float32))  # dwbuf
+        scratch.append(pltpu.VMEM((bs * 4, _bzy(bs)), jnp.float32))  # dbox
+        scratch.append(pltpu.VMEM((8, 128), jnp.float32))  # dafscr
+        if dowarp:
+            scratch.append(pltpu.VMEM((bs * 3, _bzy(bs)), jnp.float32))  # dwarp
+        scratch.append(pltpu.VMEM((bs * 4, _bzy(bs)), jnp.float32))  # stage_box
+        scratch.append(pltpu.VMEM((8, 128), jnp.float32))  # stage_aff
+        if dowarp:
+            scratch.append(pltpu.VMEM((bs * 3, _bzy(bs)), jnp.float32))  # stage_warp
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))
+        # inputs: gid(0) scal(1) o(2) d(3) mm(4) box(5) [warp(6)] g gbox gaff [gwarp]
+        base = 7 if dowarp else 6
+        aliases = {base + 1: 0, base + 2: 1}
+        if dowarp:
+            aliases[base + 3] = 2
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nt_c,),
-            in_specs=[
-                _bspec((1, tsz, 3)),
-                _bspec((1, tsz, 3)),
-                _bspec((1, tsz, 2)),
-                _bspec((1, mh, 8, 128)),
-                _bspec((1, mh, (bs * bs * bs * 4) // 128, 128)),
-                _bspec((1, tsz, 4)),
-                pl.BlockSpec(memory_space=pltpu.HBM),  # gbox accumulator
-                pl.BlockSpec(memory_space=pltpu.HBM),  # gaff accumulator
-            ],
-            out_specs=(
-                pl.BlockSpec(memory_space=pltpu.HBM),
-                pl.BlockSpec(memory_space=pltpu.HBM),
-            ),
-            scratch_shapes=[
-                pltpu.VMEM((nbuf, 4, tsz), jnp.float32),  # acc
-                pltpu.VMEM((nbuf, 2, tsz), jnp.float32),  # comp (cscale, da)
-                pltpu.VMEM((bs * bs, bs * 4), jnp.float32),  # dbox (expanded)
-                pltpu.VMEM((8, 128), jnp.float32),  # daff
-                pltpu.VMEM(((bs * bs * bs * 4) // 128, 128), jnp.float32),  # stage_box
-                pltpu.VMEM((8, 128), jnp.float32),  # stage_aff
-                pltpu.VMEM((bs * bs, bs * 4), jnp.float32),  # expanded box
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
+            in_specs=in_specs,
+            out_specs=tuple(out_specs),
+            scratch_shapes=scratch,
         )
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=(
-                jax.ShapeDtypeStruct(
-                    (nk, (bs * bs * bs * 4) // 128, 128), jnp.float32
-                ),
-                jax.ShapeDtypeStruct((nk, 8, 128), jnp.float32),
-            ),
-            input_output_aliases={7: 0, 8: 1},
+            out_shape=tuple(out_shape),
+            input_output_aliases=aliases,
             interpret=cfg["interpret"],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",), has_side_effects=True,
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
-        )(gid_c, o_c, d_c, mm_c, aff_c, box_c, g_c, gbox_c, gaff_c)
+        )(*args)
 
     for i in range(nchunks):
         sl = slice(i * chunk, min((i + 1) * chunk, ntiles))
-        gbox, gaff = call(
-            (gid_sp[sl], t_o[sl], t_d[sl], t_mm[sl], aff[sl], c_box[sl],
-             g_tiles[sl], gbox, gaff)
-        )
-    return gbox, gaff
+        if dowarp:
+            gbox, gaff, gwarp = call(
+                (gid_sp[sl], scal[sl], t_o[sl], t_d[sl], t_mm[sl], c_box[sl],
+                 c_warp[sl], g_tiles[sl], gbox, gaff, gwarp)
+            )
+        else:
+            gbox, gaff = call(
+                (gid_sp[sl], scal[sl], t_o[sl], t_d[sl], t_mm[sl], c_box[sl],
+                 g_tiles[sl], gbox, gaff)
+            )
+    return gbox, gaff, gwarp
 
 
 # ---------------------------------------------------------------------------
@@ -741,51 +843,63 @@ def _backward_pallas(gid_sp, t_o, t_d, t_mm, aff, c_box, g_tiles, nk, cfg):
 @lru_cache(maxsize=None)
 def _make_raymarch(cfg_key):
     cfg = dict(cfg_key)
+    dowarp = cfg["dowarp"]
 
-    @jax.custom_vjp
-    def march(raypos, raydir, tminmax, primpos, primrot, primscale, template):
-        out, _ = _fwd(raypos, raydir, tminmax, primpos, primrot, primscale, template)
-        return out
-
-    def _fwd(raypos, raydir, tminmax, primpos, primrot, primscale, template):
+    def _fwd_impl(raypos, raydir, tminmax, prim_mask, primpos, primrot,
+                  primscale, template, warp):
         n, K = primpos.shape[0], primpos.shape[1]
         bs = template.shape[2]
-        t_o, t_d, t_mm, cand_gid, cand_valid, meta = _tile_and_cull(
+        t_o, t_d, t_mm, cand_gid, cand_valid, cand_tstart, meta = _tile_and_cull(
             raypos, raydir, tminmax,
             jax.lax.stop_gradient(primpos), jax.lax.stop_gradient(primscale),
+            jax.lax.stop_gradient(prim_mask),
             cfg["tile"], cfg["max_hit"], cfg["dt"],
         )
         mh = cand_gid.shape[1]
         fp_pos = primpos.reshape(n * K, 3)
         fp_rot = primrot.reshape(n * K, 9)
         fp_scale = primscale.reshape(n * K, 3)
-        fp_box = template.reshape(n * K, (bs * bs * bs * 4) // 128, 128)
-        aff, c_box = _gather_and_pack(
-            fp_pos, fp_rot, fp_scale, fp_box, cand_gid, cand_valid, mh, bs
+        fp_boxT = _flatten_volT(template.reshape(n * K, bs, bs, bs, 4), bs, 4)
+        fp_warpT = (
+            None if warp is None
+            else _flatten_volT(warp.reshape(n * K, bs, bs, bs, 3), bs, 3)
         )
-        out_tiles = _forward_pallas(t_o, t_d, t_mm, aff, c_box, {**cfg, "bs": bs})
+        scal, c_box, c_warp = _gather_and_pack(
+            fp_pos, fp_rot, fp_scale, fp_boxT, cand_gid, cand_valid,
+            cand_tstart, mh, bs, fp_warpT
+        )
+        out_tiles = _forward_pallas(
+            scal, t_o, t_d, t_mm, c_box, c_warp, {**cfg, "bs": bs}
+        )
         out = _untile(out_tiles, meta, cfg["tile"])
         # residuals hold only the small culling results; the big per-tile
-        # gathers (aff, c_box) are rebuilt in the backward pass
-        res = (t_o, t_d, t_mm, cand_gid, cand_valid,
-               primpos, primrot, primscale, template, meta)
+        # gathers (scal, c_box, c_warp) are rebuilt in the backward pass
+        res = (t_o, t_d, t_mm, cand_gid, cand_valid, cand_tstart,
+               primpos, primrot, primscale, template, warp, meta)
         return out, res
 
-    def _bwd(res, g):
-        (t_o, t_d, t_mm, cand_gid, cand_valid,
-         primpos, primrot, primscale, template, meta) = res
+    def _bwd_impl(res, g):
+        (t_o, t_d, t_mm, cand_gid, cand_valid, cand_tstart,
+         primpos, primrot, primscale, template, warp, meta) = res
         n, K = primpos.shape[0], primpos.shape[1]
         bs = template.shape[2]
         tile = cfg["tile"]
         fp_pos = jax.lax.stop_gradient(primpos).reshape(n * K, 3)
         fp_rot = jax.lax.stop_gradient(primrot).reshape(n * K, 9)
         fp_scale = jax.lax.stop_gradient(primscale).reshape(n * K, 3)
-        fp_box = jax.lax.stop_gradient(template).reshape(
-            n * K, (bs * bs * bs * 4) // 128, 128
+        fp_boxT = _flatten_volT(
+            jax.lax.stop_gradient(template).reshape(n * K, bs, bs, bs, 4), bs, 4
+        )
+        fp_warpT = (
+            None if warp is None
+            else _flatten_volT(
+                jax.lax.stop_gradient(warp).reshape(n * K, bs, bs, bs, 3), bs, 3
+            )
         )
         mh = cand_gid.shape[1]
-        aff, c_box = _gather_and_pack(
-            fp_pos, fp_rot, fp_scale, fp_box, cand_gid, cand_valid, mh, bs
+        scal, c_box, c_warp = _gather_and_pack(
+            fp_pos, fp_rot, fp_scale, fp_boxT, cand_gid, cand_valid,
+            cand_tstart, mh, bs, fp_warpT
         )
 
         # Tile the incoming cotangent exactly like the forward inputs.
@@ -793,45 +907,77 @@ def _make_raymarch(cfg_key):
         gp = gp.at[:, : meta["h"], : meta["w"], :].set(g)
         g_tiles = (
             gp.reshape(n, meta["nty"], tile, meta["ntx"], tile, 4)
-            .transpose(0, 1, 3, 2, 4, 5)
-            .reshape(meta["ntiles"], tile * tile, 4)
+            .transpose(0, 1, 3, 5, 2, 4)
+            .reshape(meta["ntiles"], 4, tile * tile)
         ).astype(jnp.float32)
 
         # One backward sweep per batch element keeps the HBM gradient
         # accumulators at [K, ...] instead of [N*K, ...].
         tpe = meta["ntiles"] // n  # tiles per image
-        gboxes, gaffs = [], []
+        gboxes, gaffs, gwarps = [], [], []
         for b in range(n):
             sl = slice(b * tpe, (b + 1) * tpe)
             gid_local = jnp.where(
                 cand_valid[sl], cand_gid[sl] - b * K, -1
             ).astype(jnp.int32)
-            gbox_b, gaff_b = _backward_pallas(
-                gid_local, t_o[sl], t_d[sl], t_mm[sl], aff[sl], c_box[sl],
+            gbox_b, gaff_b, gwarp_b = _backward_pallas(
+                gid_local, scal[sl], t_o[sl], t_d[sl], t_mm[sl], c_box[sl],
+                None if c_warp is None else c_warp[sl],
                 g_tiles[sl], K, {**cfg, "bs": bs}
             )
             gboxes.append(gbox_b)
             gaffs.append(gaff_b)
-        gbox = jnp.stack(gboxes)  # [N, K, bs^2, 128]
+            gwarps.append(gwarp_b)
+        gbox = jnp.stack(gboxes)  # [N, K, bs*4, BZY]
         gaff = jnp.stack(gaffs)  # [N, K, 8, 128]
 
-        d_template = gbox.reshape(n, K, bs, bs, bs, 4)
+        d_template = gbox[:, :, :, : bs * bs].transpose(0, 1, 3, 2).reshape(
+            n, K, bs, bs, bs, 4
+        )
+        d_warp = None
+        if warp is not None:
+            d_warp = jnp.stack(gwarps)[:, :, :, : bs * bs].transpose(
+                0, 1, 3, 2
+            ).reshape(n, K, bs, bs, bs, 3)
         dA = gaff[:, :, 0:3, 0:3]
         db = gaff[:, :, 3, 0:3]
         _, pack_vjp = jax.vjp(_pack_affine, primpos, primrot, primscale)
         d_pos, d_rot, d_scale = pack_vjp((dA, db))
-        zeros = (
-            jnp.zeros_like(t_o).sum() * 0,
-        )  # placeholder not used
-        del zeros
-        return (
+        zeros_ray = (
             jnp.zeros((meta["n"], meta["h"], meta["w"], 3), jnp.float32),
             jnp.zeros((meta["n"], meta["h"], meta["w"], 3), jnp.float32),
             jnp.zeros((meta["n"], meta["h"], meta["w"], 2), jnp.float32),
-            d_pos, d_rot, d_scale, d_template,
+            jnp.zeros((meta["n"], primpos.shape[1]), jnp.float32),  # prim_mask
+        )
+        return zeros_ray + (d_pos, d_rot, d_scale, d_template) + (
+            (d_warp,) if dowarp else ()
         )
 
-    march.defvjp(_fwd, _bwd)
+    if dowarp:
+
+        @jax.custom_vjp
+        def march(raypos, raydir, tminmax, prim_mask, primpos, primrot,
+                  primscale, template, warp):
+            out, _ = _fwd_impl(raypos, raydir, tminmax, prim_mask, primpos,
+                               primrot, primscale, template, warp)
+            return out
+
+        march.defvjp(_fwd_impl, _bwd_impl)
+        return march
+
+    @jax.custom_vjp
+    def march(raypos, raydir, tminmax, prim_mask, primpos, primrot, primscale,
+              template):
+        out, _ = _fwd_impl(raypos, raydir, tminmax, prim_mask, primpos,
+                           primrot, primscale, template, None)
+        return out
+
+    def _fwd7(raypos, raydir, tminmax, prim_mask, primpos, primrot, primscale,
+              template):
+        return _fwd_impl(raypos, raydir, tminmax, prim_mask, primpos, primrot,
+                         primscale, template, None)
+
+    march.defvjp(_fwd7, _bwd_impl)
     return march
 
 
@@ -859,11 +1005,12 @@ def _mvp_raymarch_pallas_jit(
     primscale: jnp.ndarray,
     template: jnp.ndarray,
     warp: Optional[jnp.ndarray] = None,
+    prim_mask: Optional[jnp.ndarray] = None,
     fadescale: float = 8.0,
     fadeexp: float = 8.0,
     tile: int = 16,
     max_hit: int = 64,
-    nbuf: int = 896,
+    nbuf: Optional[int] = None,
     interpret: bool = False,
     **_unused,
 ) -> jnp.ndarray:
@@ -872,11 +1019,19 @@ def _mvp_raymarch_pallas_jit(
         raise ValueError(
             f"pallas backend needs primsize^3*4 divisible by 128, got {bs_check}"
         )
-    if warp is not None:
-        raise NotImplementedError(
-            "warp fields are supported by the xla backend; the training path "
-            "never emits warps (reference assembler returns none)"
-        )
+    if nbuf is None:
+        # cover the [-1,1]^3 cube diagonal (raydirs clamps tminmax to it)
+        nbuf = _ceil_to(int(2.0 * 3.0**0.5 / float(stepsize)) + 4, 8)
+    # the step buffers hold nbuf rows: truncate the march there so any
+    # overflow is a shorter range (oracle max_steps semantics), never a
+    # mis-composited image
+    tminmax = jnp.stack(
+        [
+            tminmax[..., 0],
+            jnp.minimum(tminmax[..., 1], tminmax[..., 0] + nbuf * float(stepsize)),
+        ],
+        axis=-1,
+    )
     primrot = primrot.reshape(primrot.shape[0], primrot.shape[1], 3, 3)
     cfg_key = tuple(
         sorted(
@@ -884,8 +1039,17 @@ def _mvp_raymarch_pallas_jit(
                 dt=float(stepsize), fadescale=float(fadescale),
                 fadeexp=float(fadeexp), tile=int(tile), max_hit=int(max_hit),
                 nbuf=int(nbuf), interpret=bool(interpret),
+                dowarp=warp is not None,
             ).items()
         )
     )
     march = _make_raymarch(cfg_key)
-    return march(raypos, raydir, tminmax, primpos, primrot, primscale, template)
+    if prim_mask is None:
+        prim_mask = jnp.ones(primpos.shape[:2], jnp.float32)
+    else:
+        prim_mask = prim_mask.astype(jnp.float32)
+    if warp is not None:
+        return march(raypos, raydir, tminmax, prim_mask, primpos, primrot,
+                     primscale, template, warp)
+    return march(raypos, raydir, tminmax, prim_mask, primpos, primrot,
+                 primscale, template)

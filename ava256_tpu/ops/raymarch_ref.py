@@ -99,8 +99,19 @@ def mvp_raymarch_reference(
     fadescale: float = 8.0,
     fadeexp: float = 8.0,
     max_steps: Optional[int] = None,
+    within_step: str = "sequential",
 ) -> jnp.ndarray:
     """Oracle raymarcher.
+
+    The reference CUDA accumulator applies each hitbox's saturating
+    contribution in whatever order the warp processes them, which is
+    undefined without sortprims (reference: extensions/mvpraymarch/
+    mvpraymarch.py:339-342); ``within_step`` picks a deterministic member of
+    that family: "sequential" composites prims in index order inside a step
+    (the sorted-CUDA behaviour), "summed" adds all primitive densities at a
+    step before saturating (the Pallas kernel's order-independent rule). The
+    two differ only when a ray saturates inside a step covered by several
+    primitives.
 
     Args:
         raypos: [N, H, W, 3] ray origins (volume units).
@@ -148,6 +159,14 @@ def mvp_raymarch_reference(
 
         rgb = sample[..., 0:3]
         alpha = sample[..., 3:4] * fade * stepsize * inbox * tvalid[:, None]
+
+        if within_step == "summed":
+            acc_a = acc[..., 3:4]
+            total = jnp.sum(alpha, axis=1)  # [N, H, W, 1]
+            contrib = jnp.minimum(acc_a + total, 1.0) - jnp.minimum(acc_a, 1.0)
+            share = contrib / jnp.maximum(total, 1e-12)
+            crgb = jnp.sum(alpha * rgb, axis=1) * share
+            return acc + jnp.concatenate([crgb, contrib], axis=-1)
 
         def prim_fn(k, acc):
             acc_a = acc[..., 3:4]

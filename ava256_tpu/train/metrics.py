@@ -60,3 +60,106 @@ def ssim(
     num = (2 * mu_xy + c1) * (2 * sig_xy + c2)
     den = (mu_x2 + mu_y2 + c1) * (sig_x + sig_y + c2)
     return jnp.mean(num / den)
+
+
+# ---------------------------------------------------------------------------
+# LPIPS (learned perceptual image patch similarity)
+# ---------------------------------------------------------------------------
+
+_LPIPS_LAYERS = (  # AlexNet-topology feature stack: (out_ch, kernel, stride)
+    (64, 11, 4),
+    (192, 5, 1),
+    (384, 3, 1),
+    (256, 3, 1),
+    (256, 3, 1),
+)
+
+
+def _lpips_filters(seed: int = 0):
+    """Deterministic He-initialized filters for the fallback metric."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    filters = []
+    cin = 3
+    for cout, k, _ in _LPIPS_LAYERS:
+        w = rng.randn(k, k, cin, cout).astype(np.float32)
+        w *= np.sqrt(2.0 / (k * k * cin))
+        filters.append(w)
+        cin = cout
+    return filters
+
+
+def lpips(
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    data_range: float = 255.0,
+    weights_path: str | None = None,
+    seed: int = 0,
+) -> jnp.ndarray:
+    """LPIPS distance over a batch of NHWC images (lower is better).
+
+    Uses the standard recipe (Zhang et al. 2018): a conv feature stack,
+    channel-unit-normalized features per layer, squared differences averaged
+    spatially and summed over layers. If ``weights_path`` (or the
+    AVA256_LPIPS_WEIGHTS env var) points to an .npz with arrays
+    ``conv0..conv4`` [k,k,cin,cout] and optional ``lin0..lin4`` [cout] linear
+    calibration weights, those trained filters are used; otherwise the metric
+    falls back to deterministic He-initialized random features — random-filter
+    perceptual distances track trained LPIPS closely in ranking terms
+    (Amir & Weiss, "Understanding and Simplifying Perceptual Distances",
+    CVPR 2021) and keep the metric self-contained in a no-download
+    environment. The fallback is deterministic (fixed seed), so values are
+    comparable across runs of this codebase, but not against other stacks'
+    LPIPS numbers.
+    """
+    import os
+
+    import numpy as np
+
+    weights_path = weights_path or os.environ.get("AVA256_LPIPS_WEIGHTS")
+    lins = [None] * len(_LPIPS_LAYERS)
+    if weights_path and os.path.exists(weights_path):
+        data = np.load(weights_path)
+        filters = [np.asarray(data[f"conv{i}"], np.float32) for i in range(5)]
+        lins = [
+            np.asarray(data[f"lin{i}"], np.float32) if f"lin{i}" in data else None
+            for i in range(5)
+        ]
+    else:
+        filters = _lpips_filters(seed)
+
+    # scale to [-1, 1] like the reference implementation's input convention
+    x = pred.astype(jnp.float32) / data_range * 2.0 - 1.0
+    y = target.astype(jnp.float32) / data_range * 2.0 - 1.0
+
+    def features(img):
+        feats = []
+        h = img
+        for w, (cout, k, stride) in zip(filters, _LPIPS_LAYERS):
+            h = jax.lax.conv_general_dilated(
+                h, jnp.asarray(w), (stride, stride), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            h = jax.nn.relu(h)
+            feats.append(h)
+            if len(feats) in (1, 2):  # pool between early stages
+                h = jax.lax.reduce_window(
+                    h, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), "SAME"
+                )
+        return feats
+
+    fx = features(x)
+    fy = features(y)
+    total = jnp.zeros(())
+    for i, (a, b) in enumerate(zip(fx, fy)):
+        a = a / jnp.maximum(jnp.linalg.norm(a, axis=-1, keepdims=True), 1e-10)
+        b = b / jnp.maximum(jnp.linalg.norm(b, axis=-1, keepdims=True), 1e-10)
+        d = (a - b) ** 2
+        if lins[i] is not None:
+            d = d * jnp.asarray(lins[i])[None, None, None, :]
+            total = total + jnp.mean(jnp.sum(d, axis=-1))
+        else:
+            # uncalibrated variant: uniform channel average per layer
+            total = total + jnp.mean(d)
+    return total

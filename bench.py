@@ -83,6 +83,26 @@ def main() -> None:
 
     n_chips = len(jax.devices())
     steps_per_sec_per_chip = (1.0 / dt) / n_chips * (batch / 4.0) * (h * w) / (512 * 334)
+
+    # Kernel-level roofline (BASELINE.md: raymarch throughput vs HBM
+    # speed-of-light): fwd/bwd wall time, Mrays/s, and the ratio of measured
+    # forward time to the minimum HBM streaming time.
+    raymarch = {}
+    if os.environ.get("AVA256_BENCH_RAYMARCH", "1") != "0":
+        import sys
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "scripts"))
+        from kbench import measure_raymarch
+
+        rep, _ = measure_raymarch(batch, h, w, nprims, steps=max(steps - 2, 2))
+        raymarch = {
+            k: rep[k]
+            for k in (
+                "fwd_s", "bwd_s", "bwd_over_fwd", "mrays_per_s_fwd",
+                "x_hbm_speed_of_light",
+            )
+        }
+
     print(
         json.dumps(
             {
@@ -92,6 +112,7 @@ def main() -> None:
                 "vs_baseline": round(
                     steps_per_sec_per_chip / REFERENCE_STEPS_PER_SEC_PER_CHIP, 3
                 ),
+                "raymarch": raymarch,
             }
         )
     )

@@ -26,7 +26,7 @@ from ava256_tpu.data.dataset import none_collate
 from ava256_tpu.factory import get_autoencoder
 from ava256_tpu.geometry import create_uv_baridx
 from ava256_tpu.train.init import init_model
-from ava256_tpu.train.metrics import psnr, ssim
+from ava256_tpu.train.metrics import lpips, psnr, ssim
 from ava256_tpu.train.state import create_train_state, make_optimizer, restore_checkpoint
 from ava256_tpu.train.step import BATCH_MODEL_KEYS
 from ava256_tpu.utils import setup_logging
@@ -93,7 +93,7 @@ def main():
         )
         return out["irgbrec"]
 
-    psnrs, ssims, vert_l1s, n_done = [], [], [], 0
+    psnrs, ssims, lpipss, vert_l1s, n_done = [], [], [], [], 0
     for idx in range(0, len(dataset), args.stride):
         if n_done >= args.num_items:
             break
@@ -104,6 +104,7 @@ def main():
         rec = reconstruct(state.params, state.stats, mb)
         psnrs.append(float(psnr(rec, mb["image"])))
         ssims.append(float(ssim(rec, mb["image"])))
+        lpipss.append(float(lpips(rec, mb["image"])))
         n_done += 1
 
     result = {
@@ -111,6 +112,7 @@ def main():
         "items": n_done,
         "psnr_db": round(float(np.mean(psnrs)), 3),
         "ssim": round(float(np.mean(ssims)), 4),
+        "lpips": round(float(np.mean(lpipss)), 4),
         "checkpoint_step": int(state.step),
     }
     print(json.dumps(result))

@@ -1,0 +1,233 @@
+#!/usr/bin/env python3
+"""Raymarch kernel micro-benchmark + on-device parity check.
+
+Times the Pallas forward and backward kernels separately at flagship scale
+on the available accelerator and reports Mrays/s plus the HBM roofline
+fraction. With --verify, additionally compares the compiled Pallas output
+and gradients against the XLA backend on the same scene (the automatic
+on-device counterpart of the interpret-mode oracle tests; reference
+gradcheck: extensions/mvpraymarch/mvpraymarch.py:710-745).
+
+Scene: nprims primitives jittered on a spherical shell (the shape the
+decoder assembler converges to for a head), scales set from the inter-prim
+spacing like the adaptwarps EMA would, camera at 3 volume radii.
+
+Usage: python scripts/kbench.py [--verify] [--batch 4] [--hw 512x334]
+       [--nprims 16384] [--steps 3] [--backend pallas|xla]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def make_flagship_scene(batch=4, h=512, w=334, nprims=16384, boxsize=8, seed=0):
+    rng = np.random.RandomState(seed)
+    n, K, M = batch, nprims, boxsize
+
+    # primitives on a jittered spherical shell, radius 0.7 in volume units
+    u = rng.rand(K).astype(np.float32)
+    phi = rng.rand(K).astype(np.float32) * 2 * np.pi
+    cz = 2 * u - 1
+    s = np.sqrt(np.maximum(0.0, 1 - cz * cz))
+    pts = np.stack([s * np.cos(phi), s * np.sin(phi), cz], -1) * 0.7
+    spacing = np.sqrt(4 * np.pi * 0.49 / K)  # mean inter-prim distance
+    primpos = (pts + rng.randn(K, 3).astype(np.float32) * spacing * 0.3)[None]
+    primpos = np.tile(primpos, (n, 1, 1)).astype(np.float32)
+    # world halfwidth ~= 1.5x spacing (overlapping shell like the EMA scale)
+    primscale = np.full((n, K, 3), 1.0 / (1.5 * spacing), np.float32)
+    ang = rng.randn(n, K, 3).astype(np.float32) * 0.1
+    from ava256_tpu.ops.math3d import rodrigues
+    import jax.numpy as jnp
+
+    primrot = np.asarray(rodrigues(jnp.asarray(ang)))
+    template = rng.randn(n, K, M, M, M, 4).astype(np.float32)
+    template[..., 3] -= 2.0
+    template = np.log1p(np.exp(template)) * np.array([60, 60, 60, 8], np.float32)
+
+    # camera at 3 volume radii, rays through the unit cube
+    campos = np.array([0.0, 0.0, -3.0], np.float32)
+    focal = w * 1.2
+    px, py = np.meshgrid(np.arange(w, dtype=np.float32), np.arange(h, dtype=np.float32))
+    rd = np.stack([(px - w / 2) / focal, (py - h / 2) / focal, np.ones_like(px)], -1)
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    raydir = np.tile(rd[None], (n, 1, 1, 1)).astype(np.float32)
+    raypos = np.tile(campos[None, None, None], (n, h, w, 1)).astype(np.float32)
+    # slab test against [-1,1]^3
+    inv = 1.0 / np.where(np.abs(raydir) < 1e-9, 1e-9, raydir)
+    t1 = (-1.0 - raypos) * inv
+    t2 = (1.0 - raypos) * inv
+    tmin = np.maximum(np.minimum(t1, t2).max(-1), 0.0)
+    tmax = np.maximum(t1, t2).min(-1)
+    tminmax = np.stack([tmin, np.maximum(tmax, tmin)], -1).astype(np.float32)
+    stepsize = 1.0 / 256.0
+    return dict(
+        raypos=raypos, raydir=raydir, stepsize=stepsize, tminmax=tminmax,
+        primpos=primpos, primrot=primrot, primscale=primscale, template=template,
+    )
+
+
+
+def measure_raymarch(batch=4, h=512, w=334, nprims=16384, steps=3, tile=16,
+                     max_hit=64, seed=0, hbm_gbps=None):
+    """Time the Pallas raymarch fwd/bwd at the given geometry and derive the
+    HBM speed-of-light fraction.
+
+    Speed-of-light model: the march must at minimum stream every surviving
+    (tile, candidate) RGBA box (bs^3*4 floats) from HBM once, plus the per-tile
+    ray inputs and rgba output. sol_frac = that minimum time / measured time.
+    """
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    from ava256_tpu.ops.raymarch_pallas import _tile_and_cull, mvp_raymarch_pallas
+
+    hbm_gbps = hbm_gbps or float(os.environ.get("AVA256_HBM_GBPS", 819.0))
+    s = make_flagship_scene(batch, h, w, nprims, seed=seed)
+    rp, rd, tmm = (jnp.asarray(s[k]) for k in ("raypos", "raydir", "tminmax"))
+    pp, pr, ps, tpl = (
+        jnp.asarray(s[k]) for k in ("primpos", "primrot", "primscale", "template")
+    )
+    kw = dict(fadescale=8.0, fadeexp=8.0, tile=tile, max_hit=max_hit)
+
+    def fwd(pp, pr, ps, tpl):
+        return mvp_raymarch_pallas(
+            rp, rd, s["stepsize"], tmm, pp, pr, ps, tpl, None, **kw
+        )
+
+    def loss(pp, pr, ps, tpl):
+        return jnp.sum(fwd(pp, pr, ps, tpl))
+
+    grad = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))
+
+    out = jax.block_until_ready(fwd(pp, pr, ps, tpl))
+    t0 = time.time()
+    for _ in range(steps):
+        out = fwd(pp, pr, ps, tpl)
+    jax.block_until_ready(out)
+    t_fwd = (time.time() - t0) / steps
+
+    g = jax.block_until_ready(grad(pp, pr, ps, tpl))
+    t0 = time.time()
+    for _ in range(steps):
+        g = grad(pp, pr, ps, tpl)
+    jax.block_until_ready(g)
+    t_tot = (time.time() - t0) / steps
+    t_bwd = t_tot - t_fwd
+
+    # information-theoretic minimum HBM bytes for the forward march
+    bs = tpl.shape[2]
+    _, _, t_mm, _, cand_valid, _, meta = _tile_and_cull(
+        rp, rd, tmm, pp, ps, jnp.ones(pp.shape[:2], jnp.float32),
+        tile, max_hit, s["stepsize"]
+    )
+    nval = int(jnp.sum(cand_valid))
+    box_bytes = nval * bs * bs * bs * 4 * 4
+    ray_bytes = meta["ntiles"] * meta["tsz"] * (3 + 3 + 2 + 4) * 4
+    sol_s = (box_bytes + ray_bytes) / (hbm_gbps * 1e9)
+    nrays = batch * h * w
+    return {
+        "fwd_s": round(t_fwd, 4),
+        "bwd_s": round(t_bwd, 4),
+        "bwd_over_fwd": round(t_bwd / t_fwd, 2),
+        "grad_total_s": round(t_tot, 4),
+        "mrays_per_s_fwd": round(nrays / t_fwd / 1e6, 2),
+        "hbm_sol_s": round(sol_s, 5),
+        "x_hbm_speed_of_light": round(t_fwd / sol_s, 1),
+        "candidates": nval,
+        "alpha_mean": round(float(jnp.mean(out[..., 3])), 4),
+        "backend": jax.default_backend(),
+    }, (fwd, grad, s, (rp, rd, tmm, pp, pr, ps, tpl))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--verify", action="store_true")
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--hw", default="512x334")
+    ap.add_argument("--nprims", type=int, default=16384)
+    ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--tile", type=int, default=16)
+    ap.add_argument("--max-hit", type=int, default=64)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+    h, w = map(int, args.hw.split("x"))
+
+    import jax
+    import jax.numpy as jnp
+
+    rep, (fwd, grad, s, arrays) = measure_raymarch(
+        args.batch, h, w, args.nprims, steps=args.steps, tile=args.tile,
+        max_hit=args.max_hit, seed=args.seed,
+    )
+    print(json.dumps(rep))
+
+    if args.verify:
+        # Compare the *compiled* kernels against the exact oracle (the XLA
+        # backend truncates at max_samples on dense scenes, and the oracle is
+        # O(K) per step, so verification runs on a reduced scene).
+        from ava256_tpu.ops.raymarch_ref import mvp_raymarch_reference
+
+        from ava256_tpu.ops.raymarch_pallas import mvp_raymarch_pallas
+
+        s = make_flagship_scene(1, 16, 16, 16, seed=args.seed)
+        rp, rd, tmm = (jnp.asarray(s[k]) for k in ("raypos", "raydir", "tminmax"))
+        pp, pr, ps, tpl = (
+            jnp.asarray(s[k]) for k in ("primpos", "primrot", "primscale", "template")
+        )
+
+        def fwd_v(pp, pr, ps, tpl):
+            return mvp_raymarch_pallas(
+                rp, rd, s["stepsize"], tmm, pp, pr, ps, tpl, None,
+                fadescale=8.0, fadeexp=8.0, tile=args.tile, max_hit=args.max_hit,
+            )
+
+        def loss_v(pp, pr, ps, tpl):
+            return jnp.sum(fwd_v(pp, pr, ps, tpl))
+
+        out = jax.block_until_ready(fwd_v(pp, pr, ps, tpl))
+        g = jax.block_until_ready(
+            jax.grad(loss_v, argnums=(0, 1, 2, 3))(pp, pr, ps, tpl)
+        )
+        maxsteps = int(np.ceil(float(tmm[..., 1].max()) / s["stepsize"])) + 2
+
+        def loss_x(pp, pr, ps, tpl):
+            return jnp.sum(
+                mvp_raymarch_reference(
+                    rp, rd, s["stepsize"], tmm, pp, pr, ps, tpl, None,
+                    fadescale=8.0, fadeexp=8.0, max_steps=maxsteps,
+                    within_step="summed",
+                )
+            )
+
+        ox = jax.block_until_ready(
+            mvp_raymarch_reference(
+                rp, rd, s["stepsize"], tmm, pp, pr, ps, tpl, None,
+                fadescale=8.0, fadeexp=8.0, max_steps=maxsteps,
+                within_step="summed",
+            )
+        )
+        gx = jax.block_until_ready(jax.grad(loss_x, argnums=(0, 1, 2, 3))(pp, pr, ps, tpl))
+        rep = {}
+        a, b = np.asarray(out), np.asarray(ox)
+        rep["out_dp"] = float((a * b).sum() / np.sqrt((a * a).sum() * (b * b).sum() + 1e-30))
+        rep["out_maxdiff"] = float(np.abs(a - b).max())
+        for name, ga, gb in zip(("primpos", "primrot", "primscale", "template"), g, gx):
+            ga, gb = np.asarray(ga), np.asarray(gb)
+            rep[f"grad_{name}_dp"] = float(
+                (ga * gb).sum() / np.sqrt((ga * ga).sum() * (gb * gb).sum() + 1e-30)
+            )
+        print(json.dumps({k: round(v, 6) for k, v in rep.items()}))
+
+
+if __name__ == "__main__":
+    main()

@@ -65,3 +65,52 @@ def test_render_rays_sharded():
     )
     # 24 rows over 8 devices: sharded render must match the plain render
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_march_sharded_grads_match_single_device():
+    """Gradients through the Pallas custom-VJP (incl. the aliased HBM
+    accumulators) on a multi-device mesh equal the single-device result.
+    The march runs per batch shard under shard_map (models/raymarcher.py)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs multiple devices")
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ava256_tpu.ops.raymarch_pallas import mvp_raymarch_pallas
+    from tests.test_raymarch import make_scene
+
+    ndev = 4
+    s = make_scene(N=ndev, H=17, W=17, k3=2, M=8)
+    mesh = make_mesh(n_devices=ndev, axis_names=("data",))
+    args = {k: jnp.asarray(s[k]) for k in
+            ("raypos", "raydir", "tminmax", "primpos", "primrot", "primscale",
+             "template")}
+
+    def march(rp, rd, tmm, pp, pr, ps, tpl):
+        return mvp_raymarch_pallas(
+            rp, rd, s["stepsize"], tmm, pp, pr, ps, tpl, None,
+            fadescale=6.5, fadeexp=8.0, interpret=True,
+            tile=8, max_hit=8, nbuf=32,
+        )
+
+    def loss_single(pp, pr, ps, tpl):
+        return jnp.sum(march(args["raypos"], args["raydir"], args["tminmax"],
+                             pp, pr, ps, tpl))
+
+    sharded = shard_map(march, mesh=mesh, in_specs=(P("data"),) * 7,
+                        out_specs=P("data"), check_rep=False)
+
+    def loss_sharded(pp, pr, ps, tpl):
+        return jnp.sum(sharded(args["raypos"], args["raydir"], args["tminmax"],
+                               pp, pr, ps, tpl))
+
+    prims = [args[k] for k in ("primpos", "primrot", "primscale", "template")]
+    g1 = jax.grad(loss_single, argnums=(0, 1, 2, 3))(*prims)
+    sh = shard_batch({k: np.asarray(v) for k, v in args.items()}, mesh)
+    g2 = jax.jit(jax.grad(loss_sharded, argnums=(0, 1, 2, 3)))(
+        sh["primpos"], sh["primrot"], sh["primscale"], sh["template"]
+    )
+    for name, a, b in zip(("primpos", "primrot", "primscale", "template"), g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5, err_msg=name
+        )

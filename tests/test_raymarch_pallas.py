@@ -69,3 +69,128 @@ def test_pallas_empty_scene_zero_grad():
     assert float(out) == 0.0
     g = jax.grad(loss_pal, argnums=3)(far, *prims[1:])
     np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-7)
+
+
+def _adversarial_scene(H=17, W=17):
+    """Saturating near wall + a huge far-centered primitive that overlaps rows
+    in front of the wall. Exercises the exactness of the kernel's early
+    termination: a center-distance heuristic would skip the huge primitive
+    (its center is the farthest) even though it contributes before every
+    ray's saturation row."""
+    import numpy as np
+
+    from tests.test_raymarch import make_scene
+
+    s = make_scene(N=1, H=H, W=W, k3=3, M=8)
+    K = s["primpos"].shape[1]
+    # near wall at z=0: dense, opaque
+    g = np.linspace(-0.6, 0.6, 3, dtype=np.float32)
+    wall = np.stack(np.meshgrid(g, g, indexing="ij"), -1).reshape(-1, 2)
+    k_wall = wall.shape[0]
+    s["primpos"][0, :k_wall, 0:2] = wall
+    s["primpos"][0, :k_wall, 2] = 0.0
+    s["primscale"][0, :k_wall] = 1.0 / 0.45
+    s["template"][0, :k_wall, ..., 3] = 40.0  # saturates within a few steps
+    # huge primitive centered far behind, spanning from in front of the wall
+    s["primpos"][0, k_wall] = (0.0, 0.0, 2.0)
+    s["primscale"][0, k_wall] = 1.0 / 2.6  # reaches z = -0.6
+    s["template"][0, k_wall, ..., 3] = 1.5
+    s["template"][0, k_wall, ..., 0:3] = 300.0
+    # the rest: moderate mid-scene prims from make_scene, left as-is
+    del K
+    return s
+
+
+def test_pallas_early_out_exact_under_adversarial_overlap():
+    """Compared in the oracle's "summed" within-step mode (the kernel's
+    contract); the wall saturates every ray mid-row, where the sequential and
+    summed members of the reference's unordered-atomics family diverge."""
+    s = _adversarial_scene()
+    maxsteps = int(np.ceil(s["tminmax"][..., 1].max() / s["stepsize"])) + 2
+    rp, rd, tmm = (jnp.asarray(s[k]) for k in ("raypos", "raydir", "tminmax"))
+    prims = [jnp.asarray(s[k]) for k in ("primpos", "primrot", "primscale", "template")]
+
+    def loss_ref(pp, pr, ps, tpl):
+        return jnp.sum(
+            mvp_raymarch_reference(
+                rp, rd, s["stepsize"], tmm, pp, pr, ps, tpl, None,
+                fadescale=6.5, fadeexp=8.0, max_steps=maxsteps,
+                within_step="summed",
+            )
+        )
+
+    def loss_pal(pp, pr, ps, tpl):
+        return jnp.sum(
+            mvp_raymarch_pallas(
+                rp, rd, s["stepsize"], tmm, pp, pr, ps, tpl, None,
+                fadescale=6.5, fadeexp=8.0, interpret=True,
+                tile=8, max_hit=32, nbuf=64,
+            )
+        )
+    a = float(loss_ref(*prims))
+    b = float(loss_pal(*prims))
+    assert abs(a - b) / max(abs(a), 1e-6) < 1e-4, (a, b)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(*prims)
+    g_pal = jax.grad(loss_pal, argnums=(0, 1, 2, 3))(*prims)
+    for name, x, y in zip(("primpos", "primrot", "primscale", "template"), g_ref, g_pal):
+        x, y = np.asarray(x), np.asarray(y)
+        dp = float((x * y).sum() / np.sqrt((x * x).sum() * (y * y).sum() + 1e-30))
+        assert dp > 0.9999, f"{name}: dp={dp}, maxdiff={np.abs(x - y).max()}"
+
+
+def test_pallas_nbuf_truncation_matches_oracle_max_steps():
+    """A too-small nbuf must mean a *shorter march* (oracle max_steps
+    semantics), never a mis-composited image."""
+    s = make_scene(N=1, H=9, W=9, k3=2, M=8)
+    rp, rd, tmm = (jnp.asarray(s[k]) for k in ("raypos", "raydir", "tminmax"))
+    prims = [jnp.asarray(s[k]) for k in ("primpos", "primrot", "primscale", "template")]
+    nbuf = 8
+    out_pal = mvp_raymarch_pallas(
+        rp, rd, s["stepsize"], tmm, *prims, None,
+        fadescale=6.5, fadeexp=8.0, interpret=True, tile=8, max_hit=8, nbuf=nbuf,
+    )
+    out_ref = mvp_raymarch_reference(
+        rp, rd, s["stepsize"], tmm, *prims, None,
+        fadescale=6.5, fadeexp=8.0, max_steps=nbuf,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_pal), np.asarray(out_ref), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_pallas_warp_field_matches_oracle():
+    """Warp-field sampling chain (template sampled at warp(y)) fwd + all five
+    gradient sets vs the oracle (reference: primsampler.h:53-91)."""
+    s = make_scene(N=1, H=17, W=17, k3=2, M=8, warp=True)
+    maxsteps = int(np.ceil(s["tminmax"][..., 1].max() / s["stepsize"])) + 2
+    rp, rd, tmm = (jnp.asarray(s[k]) for k in ("raypos", "raydir", "tminmax"))
+    prims = [jnp.asarray(s[k]) for k in
+             ("primpos", "primrot", "primscale", "template", "warp")]
+
+    def loss_ref(pp, pr, ps, tpl, wrp):
+        return jnp.sum(
+            mvp_raymarch_reference(
+                rp, rd, s["stepsize"], tmm, pp, pr, ps, tpl, wrp,
+                fadescale=6.5, fadeexp=8.0, max_steps=maxsteps,
+            )
+        )
+
+    def loss_pal(pp, pr, ps, tpl, wrp):
+        return jnp.sum(
+            mvp_raymarch_pallas(
+                rp, rd, s["stepsize"], tmm, pp, pr, ps, tpl, wrp,
+                fadescale=6.5, fadeexp=8.0, interpret=True,
+                tile=8, max_hit=8, nbuf=64,
+            )
+        )
+
+    a = float(loss_ref(*prims))
+    b = float(loss_pal(*prims))
+    assert abs(a - b) / max(abs(a), 1e-6) < 1e-4, (a, b)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(*prims)
+    g_pal = jax.grad(loss_pal, argnums=(0, 1, 2, 3, 4))(*prims)
+    names = ("primpos", "primrot", "primscale", "template", "warp")
+    for name, x, y in zip(names, g_ref, g_pal):
+        x, y = np.asarray(x), np.asarray(y)
+        dp = float((x * y).sum() / np.sqrt((x * x).sum() * (y * y).sum() + 1e-30))
+        assert dp > 0.9999, f"{name}: dp={dp}, maxdiff={np.abs(x - y).max()}"

@@ -96,3 +96,17 @@ def test_psnr_ssim():
     p = float(psnr(noisy, img))
     assert 25 < p < 31  # mse=100 -> 10*log10(255^2/100) ~= 28.1
     assert float(ssim(noisy, img)) < 1.0
+
+
+def test_lpips():
+    from ava256_tpu.train.metrics import lpips
+
+    rng = np.random.RandomState(0)
+    x = rng.rand(2, 64, 64, 3).astype(np.float32) * 255.0
+    small = np.clip(x + rng.randn(*x.shape) * 5.0, 0, 255).astype(np.float32)
+    big = np.clip(x + rng.randn(*x.shape) * 60.0, 0, 255).astype(np.float32)
+    d0 = float(lpips(x, x))
+    d1 = float(lpips(x, small))
+    d2 = float(lpips(x, big))
+    assert d0 < 1e-6
+    assert d0 < d1 < d2, (d0, d1, d2)

@@ -116,8 +116,17 @@ def main():
     dataset = build_dataset(cfg)
     logger.info("Dataset instantiated (%.2f s), %d items", time.time() - t0, len(dataset))
 
+    mesh = make_mesh(axis_names=tuple(cfg.mesh.axes))
+    logger.info("Mesh: %s", mesh)
+
     uv_res = cfg.data.synthetic_texsize if cfg.data.synthetic else 1024
     uvdata = create_uv_baridx(f"{cfg.assets}/face_topology.obj", resolution=uv_res)
+    raymarch_options = {
+        k: v for k, v in cfg.model.raymarch.items() if k != "backend"
+    }
+    if cfg.model.raymarch.backend == "pallas":
+        # march per batch shard under shard_map (pallas_call has no GSPMD rule)
+        raymarch_options["mesh"] = mesh
     model = get_autoencoder(
         uvdata,
         vertmean=dataset.vertmean,
@@ -130,13 +139,8 @@ def main():
         colorcal=cfg.model.colorcal,
         bgmodel=cfg.model.bgmodel,
         raymarch_backend=cfg.model.raymarch.backend,
-        raymarch_options={
-            k: v for k, v in cfg.model.raymarch.items() if k != "backend"
-        },
+        raymarch_options=raymarch_options,
     )
-
-    mesh = make_mesh(axis_names=tuple(cfg.mesh.axes))
-    logger.info("Mesh: %s", mesh)
 
     loader = ShardedLoader(
         dataset,
