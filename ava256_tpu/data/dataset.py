@@ -191,6 +191,14 @@ class SingleCaptureDataset:
         # Persistent zip handles (opened lazily per worker thread)
         self._zips: Dict[str, zipfile.ZipFile] = {}
 
+    def __getstate__(self):
+        # open zip handles are not picklable (and must not be shared across
+        # worker processes — duplicated fds race on the file offset); they
+        # re-open lazily in each worker
+        state = self.__dict__.copy()
+        state["_zips"] = {}
+        return state
+
     def _zip(self, rel: str) -> zipfile.ZipFile:
         if rel not in self._zips:
             self._zips[rel] = zipfile.ZipFile(self.dir / rel)

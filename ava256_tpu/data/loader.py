@@ -2,9 +2,14 @@
 
 TPU-native replacement for the reference's DistributedSampler + DataLoader
 (reference: ddp-train.py:134-144): each host iterates its own shard of a
-(optionally shuffled) global index permutation and worker threads overlap
-zip/image decode with device compute. Failed samples are dropped at collate
+(optionally shuffled) global index permutation and workers overlap zip/image
+decode with device compute. Failed samples are dropped at collate
 (None-skipping), matching the reference's data-level fault tolerance.
+
+Workers are threads by default (PIL/numpy release the GIL for the heavy
+decode/resize work); ``use_processes=True`` switches to a spawned process
+pool like the reference's 4 DataLoader worker processes (reference:
+ddp-train.py:139) for hosts where Python-side per-item work dominates.
 """
 
 from __future__ import annotations
@@ -17,6 +22,17 @@ from typing import Any, Callable, Dict, Iterator, Optional
 import numpy as np
 
 from ava256_tpu.data.dataset import none_collate
+
+_WORKER_DATASET = None
+
+
+def _pool_init(dataset):
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _pool_fetch(batch_indices):
+    return none_collate([_WORKER_DATASET[int(j)] for j in batch_indices])
 
 
 class ShardedLoader:
@@ -32,6 +48,7 @@ class ShardedLoader:
         drop_last: bool = True,
         collate: Callable = none_collate,
         prefetch: int = 4,
+        use_processes: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -44,6 +61,25 @@ class ShardedLoader:
         self.collate = collate
         self.prefetch = prefetch
         self.epoch = 0
+        self._skip = 0
+        self._pool = None
+        if use_processes:
+            import multiprocessing as mp
+
+            ctx = mp.get_context("spawn")
+            self._pool = ctx.Pool(
+                self.num_workers, initializer=_pool_init, initargs=(dataset,)
+            )
+
+    def set_position(self, global_batch_index: int) -> None:
+        """Fast-forward so the next ``__iter__`` resumes the deterministic
+        batch sequence at the given global batch index (checkpoint resume:
+        the shuffle is a pure function of (seed, epoch), so epoch + intra-
+        epoch offset reproduce the exact data order of an uninterrupted
+        run)."""
+        per = len(self)
+        self.epoch = global_batch_index // per
+        self._skip = global_batch_index % per
 
     def _epoch_indices(self) -> np.ndarray:
         n = len(self.dataset)
@@ -63,6 +99,15 @@ class ShardedLoader:
         batches = [
             indices[i * self.batch_size : (i + 1) * self.batch_size] for i in range(nb)
         ]
+        if self._skip:
+            batches = batches[self._skip :]
+            self._skip = 0
+
+        if self._pool is not None:
+            # process pool: imap preserves batch order; the pool pipeline
+            # depth provides the prefetch overlap
+            yield from self._pool.imap(_pool_fetch, batches)
+            return
 
         job_q: "queue.Queue" = queue.Queue()
         results: Dict[int, Any] = {}

@@ -117,6 +117,7 @@ def main():
     ap.add_argument("--items", type=int, default=48)
     ap.add_argument("--downsample", type=int, default=8)
     ap.add_argument("--workers", default="1,2,4")
+    ap.add_argument("--processes", action="store_true")
     ap.add_argument("--small", action="store_true", help="512x334 source images")
     args = ap.parse_args()
 
@@ -143,7 +144,7 @@ def main():
         for nw in (int(x) for x in args.workers.split(",")):
             loader = ShardedLoader(
                 ds, batch_size=4, shuffle=False, num_workers=nw,
-                host_id=0, num_hosts=1,
+                host_id=0, num_hosts=1, use_processes=args.processes,
             )
             got = 0
             t0 = time.time()
@@ -162,6 +163,7 @@ def main():
                 {
                     "source_px": "512x334" if args.small else "4096x2668",
                     "downsample": args.downsample,
+                    "workers": "processes" if args.processes else "threads",
                     "single_thread_item_s": round(per_item_s, 3),
                     **results,
                     "flagship_need_items_per_s": flagship_need,

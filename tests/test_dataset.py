@@ -176,3 +176,35 @@ def test_config_dot_overrides(tmp_path):
     assert cfg.model.nprims == 1024
     assert cfg.new.key == "hi"
     assert isinstance(cfg.to_dict(), dict)
+
+
+def test_loader_set_position_resumes_exact_order(capture_dir):
+    """Checkpoint-resume determinism: a loader fast-forwarded to batch k
+    yields exactly the batches an uninterrupted loader yields from k on."""
+    from ava256_tpu.data.loader import ShardedLoader
+
+    cap = MugsyCapture(mcd="20260101", mct="0000", sid="tst001")
+    ds = SingleCaptureDataset(cap, str(capture_dir), downsample=32)
+    a = ShardedLoader(ds, batch_size=2, shuffle=True, num_workers=1)
+    full = [b["camindex"].tolist() for _ in range(2) for b in a]  # 2 epochs
+    b = ShardedLoader(ds, batch_size=2, shuffle=True, num_workers=1)
+    k = 4
+    b.set_position(k)
+    resumed = [bb["camindex"].tolist() for bb in b]
+    assert resumed == full[k : k + len(resumed)]
+
+
+def test_loader_process_pool(capture_dir):
+    from ava256_tpu.data.loader import ShardedLoader
+
+    cap = MugsyCapture(mcd="20260101", mct="0000", sid="tst001")
+    ds = SingleCaptureDataset(cap, str(capture_dir), downsample=32)
+    thread_loader = ShardedLoader(ds, batch_size=2, shuffle=False, num_workers=1)
+    proc_loader = ShardedLoader(
+        ds, batch_size=2, shuffle=False, num_workers=2, use_processes=True
+    )
+    a = [b["image"] for b in thread_loader]
+    b = [b["image"] for b in proc_loader]
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)

@@ -195,6 +195,9 @@ def main():
     ]
 
     iternum = int(state.step)
+    if iternum > 0:
+        # resume the deterministic data order where the checkpoint left off
+        loader.set_position(iternum)
     warmup = cfg.train.get("warmup_iters", 100)
     done = False
     lstart = time.time()
@@ -213,7 +216,9 @@ def main():
             mb = shard_batch(mb, mesh)
 
             in_warmup = iternum < warmup
-            rng, step_rng = jax.random.split(rng)
+            # step rng is a pure function of the step index so a resumed run
+            # replays the exact trajectory of an uninterrupted one
+            step_rng = jax.random.fold_in(rng, iternum)
             with trace(profile_dir if iternum == profile_at else None):
                 with timer.step():
                     state, loss, terms = train_step(
