@@ -54,7 +54,12 @@ class Config(dict):
             try:
                 val = ast.literal_eval(raw)
             except (ValueError, SyntaxError):
-                val = raw
+                try:
+                    # YAML scalars: false/true/null/1e-3 (a bare "false" is
+                    # not a Python literal and must not survive as a string)
+                    val = yaml.safe_load(raw)
+                except yaml.YAMLError:
+                    val = raw
             node[parts[-1]] = val
         return self
 

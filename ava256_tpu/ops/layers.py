@@ -76,6 +76,8 @@ class LinearWN(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         in_features = x.shape[-1]
         w = self.param(
             "weight",
@@ -84,7 +86,7 @@ class LinearWN(nn.Module):
         )
         g = self.param("g", _wn_scale_init(w, self.features))
         w_eff = _wn_effective(w, g, channel_axis=1)
-        y = jnp.dot(x, w_eff.astype(self.dtype or x.dtype), preferred_element_type=jnp.float32)
+        y = jnp.dot(x, w_eff.astype(self.dtype or x.dtype))
         y = y.astype(self.dtype or x.dtype)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,))
@@ -105,6 +107,8 @@ class Conv2dWN(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         kh, kw = _as_pair(self.kernel_size)
         sh, sw = _as_pair(self.strides)
         ph, pw = _as_pair(self.padding)
@@ -124,7 +128,6 @@ class Conv2dWN(nn.Module):
             window_strides=(sh, sw),
             padding=[(ph, ph), (pw, pw)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
         ).astype(self.dtype or x.dtype)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,))
@@ -179,6 +182,8 @@ class ConvTranspose2dWN(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         kh, kw = _as_pair(self.kernel_size)
         sh, sw = _as_pair(self.strides)
         ph, pw = _as_pair(self.padding)
@@ -203,7 +208,6 @@ class ConvTranspose2dWN(nn.Module):
             padding=[(kh - 1 - ph, kh - 1 - ph), (kw - 1 - pw, kw - 1 - pw)],
             lhs_dilation=(sh, sw),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
         ).astype(self.dtype or x.dtype)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,))
@@ -221,13 +225,15 @@ class Linear(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         in_features = x.shape[-1]
         w = self.param(
             "weight",
             xavier_uniform_init(self.gain, in_features, self.features, 1),
             (in_features, self.features),
         )
-        y = jnp.dot(x, w.astype(self.dtype or x.dtype), preferred_element_type=jnp.float32)
+        y = jnp.dot(x, w.astype(self.dtype or x.dtype))
         y = y.astype(self.dtype or x.dtype)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,))
@@ -248,6 +254,8 @@ class Conv2d(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         kh, kw = _as_pair(self.kernel_size)
         sh, sw = _as_pair(self.strides)
         ph, pw = _as_pair(self.padding)
@@ -263,7 +271,6 @@ class Conv2d(nn.Module):
             window_strides=(sh, sw),
             padding=[(ph, ph), (pw, pw)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
         ).astype(self.dtype or x.dtype)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,))
@@ -286,6 +293,8 @@ class ConvSeq(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         n = len(self.specs)
         for i, spec in enumerate(self.specs):
             is_last = i == n - 1

@@ -41,13 +41,18 @@ def ssim(
     kern_w = jnp.tile(g.reshape(1, kernel_size, 1, 1), (1, 1, 1, c))
 
     def blur(img):
+        # the variance terms cancel catastrophically (blur(x^2) - mu^2 with
+        # x ~ O(100)); the platform's default low matmul precision (bf16 on
+        # TPU) makes them garbage relative to c2 — force full precision
         img = jax.lax.conv_general_dilated(
             img, kern_h, (1, 1), "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+            precision=jax.lax.Precision.HIGHEST,
         )
         return jax.lax.conv_general_dilated(
             img, kern_w, (1, 1), "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
     mu_x = blur(x)

@@ -110,3 +110,13 @@ def test_lpips():
     d2 = float(lpips(x, big))
     assert d0 < 1e-6
     assert d0 < d1 < d2, (d0, d1, d2)
+
+
+def test_config_dotted_override_scalars():
+    from ava256_tpu.config import Config
+
+    c = Config.from_nested({"model": {"bgmodel": True, "lr": 1.0}})
+    c.merge_dotted(["model.bgmodel=false", "model.lr=2e-4", "model.name=abc"])
+    assert c.model.bgmodel is False
+    assert c.model.lr == 2e-4
+    assert c.model.name == "abc"

@@ -140,6 +140,8 @@ def main():
         bgmodel=cfg.model.bgmodel,
         raymarch_backend=cfg.model.raymarch.backend,
         raymarch_options=raymarch_options,
+        # activation compute dtype; parameters stay fp32 (flax dtype policy)
+        dtype=jnp.bfloat16 if cfg.model.get("dtype") == "bfloat16" else None,
     )
 
     loader = ShardedLoader(
@@ -152,8 +154,16 @@ def main():
     )
 
     # ---- init / restore ----
+    # Build the init batch straight from the dataset: iterating the loader
+    # here would advance its epoch counter and break the deterministic
+    # resume alignment of set_position().
+    from ava256_tpu.data.dataset import none_collate
+
     first = None
-    for b in loader:
+    for start in range(0, len(dataset), cfg.train.batchsize):
+        b = none_collate(
+            [dataset[start + j] for j in range(cfg.train.batchsize)]
+        )
         if b is not None:
             first = to_model_batch(b)
             break
