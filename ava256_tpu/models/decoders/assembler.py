@@ -179,15 +179,21 @@ class DecoderAssembler(nn.Module):
             const = _PRIMSCALE_TABLE.get(self.nprims, 0.4 * self.nh)
             primscale = jnp.full((n, K, 3), const, dtype=postex.dtype)
 
-        # TBN frames from position-map derivatives at primitive centers. The
-        # last row/col is duplicated so the strided sampling always yields an
-        # nh x nh grid (a no-op at the reference's 1024/8 geometry).
-        geodu = postex[:, :, 1:, :] - postex[:, :, :-1, :]
-        geodu = jnp.concatenate([geodu, geodu[:, :, -1:, :]], axis=2)
-        geodv = postex[:, 1:, :, :] - postex[:, :-1, :, :]
-        geodv = jnp.concatenate([geodv, geodv[:, -1:, :, :]], axis=1)
-        vcenterdu = geodu[:, c::s, c::s, :]  # [N, nh, nh, 3]
-        vcenterdv = geodv[:, c::s, c::s, :]
+        # TBN frames from position-map derivatives at primitive centers.
+        # Sample BEFORE differencing, and as static slices of a stride-block
+        # reshape rather than strided gathers: a full-resolution diff (the
+        # ref's gradient-image formulation) makes XLA materialize
+        # [N, 1024, 1024, 3] cotangent temps whose 3-channel axis lands on
+        # the 128-lane tile (42x padding, ~2 GB each, OOM at flagship
+        # scale), while gather-style sampling backprops as serialized
+        # scatter-adds (~2 s/step). Block slicing transposes to cheap pads.
+        # The center texel c = s//2 satisfies c+1 <= s-1, so the forward
+        # difference never crosses a block (equals the reference's
+        # duplicated-final-difference semantics at any geometry).
+        blocks = postex.reshape(n, self.nh, s, self.nh, s, 3)
+        ctr = blocks[:, :, c, :, c, :]  # [N, nh, nh, 3]
+        vcenterdu = blocks[:, :, c, :, c + 1, :] - ctr
+        vcenterdv = blocks[:, :, c + 1, :, c, :] - ctr
 
         def _norm(v):
             return v / jnp.clip(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-8)

@@ -169,3 +169,31 @@ def test_background_model():
     out = bg.apply(params, cam, idi, coords)
     assert out.shape == (2, 16, 16, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_assembler_tbn_block_slices_match_gradient_image():
+    """The assembler's block-slice TBN derivatives must equal the reference's
+    gradient-image formulation (full-res forward diff, duplicated final
+    difference, strided center sampling; reference models/decoders/assembler.py
+    geodu/geodv). The block form exists so XLA never materializes full-res
+    [N,1024,1024,3] cotangent temps (42x lane padding) or scatter-adds."""
+    rng = np.random.RandomState(7)
+    n, res, nh = 2, 64, 8
+    s = res // nh
+    c = s // 2
+    postex = jnp.asarray(rng.randn(n, res, res, 3).astype(np.float32))
+
+    geodu = postex[:, :, 1:, :] - postex[:, :, :-1, :]
+    geodu = jnp.concatenate([geodu, geodu[:, :, -1:, :]], axis=2)
+    geodv = postex[:, 1:, :, :] - postex[:, :-1, :, :]
+    geodv = jnp.concatenate([geodv, geodv[:, -1:, :, :]], axis=1)
+    du_ref = geodu[:, c::s, c::s, :]
+    dv_ref = geodv[:, c::s, c::s, :]
+
+    blocks = postex.reshape(n, nh, s, nh, s, 3)
+    ctr = blocks[:, :, c, :, c, :]
+    du = blocks[:, :, c, :, c + 1, :] - ctr
+    dv = blocks[:, :, c + 1, :, c, :] - ctr
+
+    np.testing.assert_array_equal(np.asarray(du), np.asarray(du_ref))
+    np.testing.assert_array_equal(np.asarray(dv), np.asarray(dv_ref))
