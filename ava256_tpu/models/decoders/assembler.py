@@ -94,15 +94,10 @@ class DecoderAssembler(nn.Module):
         )
 
     def _postex(self, geo: jnp.ndarray) -> jnp.ndarray:
-        """Barycentric gather: mesh [N,V,3] -> position map [N,1024,1024,3]."""
-        idxim = jnp.asarray(self.idxim)  # [3, H, W]
-        barim = jnp.asarray(self.barim, dtype=geo.dtype)
-        h, w = idxim.shape[1], idxim.shape[2]
-        out = 0.0
-        for k in range(3):
-            vals = jnp.take(geo, idxim[k].reshape(-1), axis=1)  # [N, H*W, 3]
-            out = out + vals * barim[k].reshape(1, -1, 1)
-        return out.reshape(geo.shape[0], h, w, 3) / self.volradius
+        """Barycentric blend: mesh [N,V,3] -> position map [N,1024,1024,3]."""
+        from ava256_tpu.ops.geomap import generate_geomap
+
+        return generate_geomap(geo, self.idxim, self.barim) / self.volradius
 
     def __call__(
         self,

@@ -52,10 +52,7 @@ class ExpressionEncoder(nn.Module):
             [N, 4, 4, 64] expression code.
         """
         C = self.channel_mult
-        uv_tidx = jnp.asarray(self.uv_tidx)
-        uv_bary = jnp.asarray(self.uv_bary)
-
-        geo_img = generate_geomap(verts - neut_verts, uv_tidx, uv_bary)
+        geo_img = generate_geomap(verts - neut_verts, self.uv_tidx, self.uv_bary)
         tex_img = avgtex - neut_avgtex
 
         ConvSeqR = nn.remat(ConvSeq)

@@ -133,9 +133,7 @@ class IdentityEncoder(nn.Module):
         Returns:
             {"z_geo", "z_tex": [N,4,4,16], "b_geo", "b_tex": bias pyramids}
         """
-        geo_img = generate_geomap(
-            neut_verts, jnp.asarray(self.uv_tidx), jnp.asarray(self.uv_bary)
-        )
+        geo_img = generate_geomap(neut_verts, self.uv_tidx, self.uv_bary)
 
         UnetEncoderR = nn.remat(UnetEncoder)
         z_geo, b_geo = UnetEncoderR(dtype=self.dtype, name="geo")(geo_img)
@@ -151,16 +149,37 @@ class IdentityEncoder(nn.Module):
         )
         warp = identity_grid + bias / self.wsize
 
-        # Checkpointed: the grid-sample corner gathers at 512^2/1024^2
-        # otherwise pin several hundred MB of awkwardly-laid-out residuals.
+        # The warp is a model parameter: one field shared by every batch item
+        # and both pyramids. Pack (geo ‖ tex ‖ batch) into the channel axis and
+        # sample each resolution once, so the gather — and its scatter-add
+        # transpose in the backward pass — runs over H*W rows of wide data
+        # instead of 2*N*H*W rows of thin, lane-padded data. TPU gathers and
+        # scatters are row-serialized, so row count, not bytes, is the cost.
+        # Checkpointed: the corner gathers at 512^2/1024^2 otherwise pin
+        # several hundred MB of residuals.
         @jax.checkpoint
-        def apply_warp(level: jnp.ndarray, warp: jnp.ndarray) -> jnp.ndarray:
-            n, h, w = level.shape[0], level.shape[1], level.shape[2]
+        def apply_warp_packed(
+            geo: jnp.ndarray, tex: jnp.ndarray, warp: jnp.ndarray
+        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+            n, h, w, cg = geo.shape
+            ct = tex.shape[-1]
+            packed = jnp.concatenate(
+                [
+                    geo.transpose(1, 2, 0, 3).reshape(h, w, n * cg),
+                    tex.transpose(1, 2, 0, 3).reshape(h, w, n * ct),
+                ],
+                axis=-1,
+            )[None]
             grid = resize_bilinear(warp, (h, w))
-            grid = jnp.broadcast_to(grid, (n, h, w, 2))
-            return grid_sample_2d(level, grid, align_corners=False)
+            out = grid_sample_2d(packed, grid, align_corners=False)[0]
+            geo_out = out[..., : n * cg].reshape(h, w, n, cg).transpose(2, 0, 1, 3)
+            tex_out = out[..., n * cg :].reshape(h, w, n, ct).transpose(2, 0, 1, 3)
+            return geo_out, tex_out
 
-        b_geo = [apply_warp(b, warp) for b in b_geo]
-        b_tex = [apply_warp(b, warp) for b in b_tex]
+        warped = [
+            apply_warp_packed(g, t, warp) for g, t in zip(b_geo, b_tex)
+        ]
+        b_geo = [g for g, _ in warped]
+        b_tex = [t for _, t in warped]
 
         return {"z_geo": z_geo, "z_tex": z_tex, "b_geo": b_geo, "b_tex": b_tex}

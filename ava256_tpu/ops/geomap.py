@@ -1,19 +1,134 @@
-"""Geometry-image rasterization: scatter mesh vertices into a UV texture.
+"""Geometry-image rasterization: interpolate mesh vertices into a UV texture.
 
 TPU-native equivalent of the reference's ``generate_geomap``
-(reference: models/encoders/utils.py:10-43): three gathers indexed by the
-precomputed per-texel triangle corner indices, blended with barycentric
-weights. Output is NHWC ([N, M, M, 3]) — the layout our conv stacks consume.
+(reference: models/encoders/utils.py:10-43). Two interchangeable formulations:
+
+- Gather path (any inputs): three row-gathers indexed by the per-texel
+  triangle corner indices, blended with barycentric weights.
+- Blocked-matmul path (used when the UV maps are host-side numpy constants,
+  which they always are in the model): the op is a *static* sparse matmul
+  ``geomap = G @ verts`` with 3 nonzeros per texel row. TPU gathers and
+  scatters are row-serialized (tens of ns per row), so the gather path costs
+  ~M^2 rows forward and another ~M^2 scatter rows in the backward pass. Here
+  the texel grid is tiled into 16x16 blocks, each block's unique-vertex list
+  is precomputed on the host (~48 vertices max on the flagship topology; the
+  atlas is spatially coherent), the block-dense weight matrix is built
+  in-graph from one-hot compares (fused VPU work), and the contraction runs
+  on the MXU. Rows touched drop from O(M^2) to O(blocks * Vmax) and both
+  directions become batched matmuls.
 """
 
 from __future__ import annotations
 
+import hashlib
+from typing import Dict, Tuple
+
+import numpy as np
+
+import jax
 import jax.numpy as jnp
 
+_BLOCK = 16
+_block_cache: Dict[Tuple, Tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
 
-def generate_geomap(
+
+def _build_blocks(
+    uv_tidx: np.ndarray, uv_bary: np.ndarray, block: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Precompute per-block corner indices, weights, and unique-vertex lists.
+
+    Returns (tidx_b [B2,T,3] i32, bary_b [B2,T,3] f32, vid [B2,Vmax] i32)
+    where vid is padded with -1 (replaced by a sentinel row index at trace
+    time so pad columns gather zeros and one-hot compares never match).
+    """
+    key = (
+        block,
+        uv_tidx.shape,
+        hashlib.sha1(np.ascontiguousarray(uv_tidx).tobytes()).hexdigest(),
+        hashlib.sha1(np.ascontiguousarray(uv_bary).tobytes()).hexdigest(),
+    )
+    hit = _block_cache.get(key)
+    if hit is not None:
+        return hit
+
+    m = uv_tidx.shape[-1]
+    nb = m // block
+    tb = (
+        uv_tidx.reshape(3, nb, block, nb, block)
+        .transpose(1, 3, 2, 4, 0)
+        .reshape(nb * nb, block * block, 3)
+        .astype(np.int32)
+    )
+    bb = (
+        uv_bary.reshape(3, nb, block, nb, block)
+        .transpose(1, 3, 2, 4, 0)
+        .reshape(nb * nb, block * block, 3)
+        .astype(np.float32)
+    )
+    uniques = [np.unique(tb[b]) for b in range(nb * nb)]
+    vmax = max(len(u) for u in uniques)
+    vmax = -(-vmax // 8) * 8
+    vid = np.full((nb * nb, vmax), -1, dtype=np.int32)
+    for b, u in enumerate(uniques):
+        vid[b, : len(u)] = u
+    _block_cache[key] = (tb, bb, vid)
+    return tb, bb, vid
+
+
+def _geomap_blocked(
+    geo: jnp.ndarray, uv_tidx: np.ndarray, uv_bary: np.ndarray, block: int
+) -> jnp.ndarray:
+    n, v, c = geo.shape
+    m = uv_tidx.shape[-1]
+    nb = m // block
+    tb, bb, vid = _build_blocks(uv_tidx, uv_bary, block)
+
+    # Row-packed vertices: one gather row per (block, slot), all batch items
+    # and coordinates in the lanes. Padded with a zero row at index v.
+    verts_flat = geo.transpose(1, 0, 2).reshape(v, n * c)
+    verts_ext = jnp.concatenate(
+        [verts_flat, jnp.zeros((1, n * c), verts_flat.dtype)], axis=0
+    )
+    # The barrier keeps XLA from constant-folding the weight build below into
+    # a ~200MB executable literal; the build itself is ~1ms of fused VPU work.
+    tb_j, bb_j, vid_j = jax.lax.optimization_barrier(
+        (jnp.asarray(tb), jnp.asarray(bb), jnp.asarray(vid))
+    )
+    vid_j = jnp.where(vid_j < 0, v, vid_j)
+    vlocal = jnp.take(verts_ext, vid_j, axis=0)  # [B2, Vmax, n*c]
+
+    onehot = tb_j[..., None] == vid_j[:, None, None, :]  # [B2, T, 3, Vmax]
+    w = jnp.sum(
+        jnp.where(onehot, bb_j[..., None], jnp.zeros((), bb_j.dtype)), axis=2
+    )  # [B2, T, Vmax]
+    out = jnp.einsum(
+        "btj,bjc->btc",
+        w.astype(verts_ext.dtype),
+        vlocal,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    out = (
+        out.reshape(nb, nb, block, block, n, c)
+        .transpose(4, 0, 2, 1, 3, 5)
+        .reshape(n, m, m, c)
+    )
+    return out
+
+
+def _geomap_gather(
     geo: jnp.ndarray, uv_tidx: jnp.ndarray, uv_bary: jnp.ndarray
 ) -> jnp.ndarray:
+    m = uv_tidx.shape[-1]
+    out = None
+    for k in range(3):
+        idx = uv_tidx[k].reshape(-1)  # [M*M]
+        vals = jnp.take(geo, idx, axis=1)  # [N, M*M, 3]
+        term = vals * uv_bary[k].reshape(1, -1, 1)
+        out = term if out is None else out + term
+    return out.reshape(geo.shape[0], m, m, 3)
+
+
+def generate_geomap(geo, uv_tidx, uv_bary) -> jnp.ndarray:
     """Rasterize vertices into a geometry image.
 
     Args:
@@ -23,12 +138,16 @@ def generate_geomap(
 
     Returns:
         [N, M, M, 3] geometry image.
+
+    When the UV maps are host numpy arrays (the model's case — they are
+    static topology products), the blocked-matmul formulation is used; with
+    traced/device maps this falls back to the gather formulation.
     """
     m = uv_tidx.shape[-1]
-    out = None
-    for k in range(3):
-        idx = uv_tidx[k].reshape(-1)  # [M*M]
-        vals = jnp.take(geo, idx, axis=1)  # [N, M*M, 3]
-        term = vals * uv_bary[k].reshape(1, -1, 1)
-        out = term if out is None else out + term
-    return out.reshape(geo.shape[0], m, m, 3)
+    if (
+        isinstance(uv_tidx, np.ndarray)
+        and isinstance(uv_bary, np.ndarray)
+        and m % _BLOCK == 0
+    ):
+        return _geomap_blocked(geo, uv_tidx, uv_bary, _BLOCK)
+    return _geomap_gather(geo, jnp.asarray(uv_tidx), jnp.asarray(uv_bary))

@@ -162,6 +162,35 @@ def test_generate_geomap():
     np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-6)
 
 
+def test_generate_geomap_blocked_matches_gather():
+    """The blocked-matmul formulation (numpy maps, 16-divisible resolution)
+    must match the gather formulation in outputs and vertex gradients."""
+    import jax
+
+    from ava256_tpu.ops.geomap import _geomap_gather
+
+    rng = np.random.RandomState(3)
+    res = 32
+    ntri = 40
+    nverts = 60
+    uv_tidx = rng.randint(0, nverts, size=(3, res, res)).astype(np.int32)
+    uv_bary = rng.rand(3, res, res).astype(np.float32)
+    uv_bary /= uv_bary.sum(axis=0, keepdims=True)
+    geo = jnp.asarray(rng.randn(2, nverts, 3).astype(np.float32))
+
+    blocked = generate_geomap(geo, uv_tidx, uv_bary)
+    gathered = _geomap_gather(geo, jnp.asarray(uv_tidx), jnp.asarray(uv_bary))
+    np.testing.assert_allclose(blocked, gathered, rtol=1e-5, atol=1e-5)
+
+    gb = jax.grad(lambda g: jnp.sum(jnp.sin(generate_geomap(g, uv_tidx, uv_bary))))(geo)
+    gg = jax.grad(
+        lambda g: jnp.sum(
+            jnp.sin(_geomap_gather(g, jnp.asarray(uv_tidx), jnp.asarray(uv_bary)))
+        )
+    )(geo)
+    np.testing.assert_allclose(gb, gg, rtol=1e-4, atol=1e-4)
+
+
 def test_rodrigues_identity_and_rotation():
     # Near-zero vector -> identity
     r = np.asarray(rodrigues(jnp.zeros((1, 3))))
