@@ -233,12 +233,18 @@ def _bzy(bs):
     return _ceil_to(bs * bs, 128)
 
 
-def _col_consts(bs, nch):
+def _col_consts(bs, nch, padded=False):
     """Loop-invariant index columns and the x-collapse matrix for an
     nch-channel volume (hoisted out of the marching loops; zy ordering
-    matches _flatten_volT). zy rows beyond bs^2 are padding: their volume
-    columns are zero, so their weights multiply into nothing."""
-    zy = jax.lax.broadcasted_iota(jnp.int32, (_bzy(bs), 1), 0)
+    matches _flatten_volT). By default the hat-weight builds run over the
+    true bs^2 zy rows — the volume's zero-padded BZY lanes are sliced off
+    before the matmul, so the dominant VPU weight build never touches
+    padding. padded=True builds over the full BZY row space instead (the
+    padding rows carry exactly-zero hat weights for in-box coordinates):
+    the backward pass needs this so its dvol contraction lands directly at
+    the 128-lane accumulator width."""
+    nzy = _bzy(bs) if padded else bs * bs
+    zy = jax.lax.broadcasted_iota(jnp.int32, (nzy, 1), 0)
     zcol = (zy // bs).astype(jnp.float32)
     ycol = (zy % bs).astype(jnp.float32)
     xn = jax.lax.broadcasted_iota(jnp.int32, (bs * nch, 1), 0)
@@ -282,9 +288,12 @@ def _prim_setup(A, b, ox, oy, oz, dx, dy, dz, tmin, tmax, dt, nbuf):
     return oyv, dyv, tin, tout, seg, (r0.astype(jnp.int32), r1.astype(jnp.int32))
 
 
-def _row_state(oyv, dyv, tmin, tmax, tin, tout, seg, rr, dt, fadescale, fadeexp):
-    """Per-row local coords, fade, and validity mask for one candidate."""
-    t = tmin + rr.astype(jnp.float32) * dt  # [T2]
+def _row_state(oyv, dyv, tmin, tmax, tin, tout, seg, rrf, dt, fadescale, fadeexp):
+    """Local coords, fade, and validity mask for one candidate over a batch
+    of step rows. All arguments are width-W vectors (W = rows * T2, the
+    per-ray quantities lane-tiled ``rows`` times); ``rrf`` is the float row
+    index of each lane."""
+    t = tmin + rrf * dt  # [W]
     y0 = oyv[0] + t * dyv[0]
     y1 = oyv[1] + t * dyv[1]
     y2 = oyv[2] + t * dyv[2]
@@ -305,32 +314,36 @@ def _row_state(oyv, dyv, tmin, tmax, tin, tout, seg, rr, dt, fadescale, fadeexp)
 
 def _sample_T(volT, fx, fy, fz, consts):
     """Trilinear sample at cell coords (fx, fy, fz), ray-lane-major: one
-    [bs*nch, BZY] @ [BZY, T2] MXU matmul plus an [nch, bs*nch] x-collapse
-    matmul. Zero-padding outside the volume (hat weights vanish). Returns
-    (sT [nch, T2], saved-for-backward)."""
+    [bs*nch, bs^2] @ [bs^2, W] MXU matmul plus an [nch, bs*nch] x-collapse
+    matmul (W = T2 * rows when step rows are batched). The volume's padded
+    BZY lanes are sliced off; zero-padding outside the volume (hat weights
+    vanish). Returns (sT [nch, W], saved-for-backward)."""
     zcol, ycol, xcol, SxT = consts
+    vol = volT[:, : zcol.shape[0]]
     wz = _hat(zcol, fz)
     wy = _hat(ycol, fy)
-    wzyT = wz * wy  # [BZY, T2]
-    tmpT = jnp.dot(volT, wzyT, preferred_element_type=jnp.float32)  # [bs*nch, T2]
+    wzyT = wz * wy  # [bs^2, W]
+    tmpT = jnp.dot(vol, wzyT, preferred_element_type=jnp.float32)  # [bs*nch, W]
     wxT = _hat(xcol, fx)
     prodT = wxT * tmpT
-    sT = jnp.dot(SxT, prodT, preferred_element_type=jnp.float32)  # [nch, T2]
+    sT = jnp.dot(SxT, prodT, preferred_element_type=jnp.float32)  # [nch, W]
     return sT, (tmpT, wzyT, wz, wy, wxT)
 
 
 def _sample_T_bwd(volT, dsT, saved, fx, fy, fz, consts):
-    """VJP of _sample_T: returns (dvolT [bs*nch, BZY], dfx, dfy, dfz [T2])."""
+    """VJP of _sample_T: returns (dvolT [bs*nch, bs^2], dfx, dfy, dfz [W]);
+    dvolT sums over any batched step rows (the W-axis contraction)."""
     zcol, ycol, xcol, SxT = consts
+    vol = volT[:, : zcol.shape[0]]
     tmpT, wzyT, wz, wy, wxT = saved
-    dprodT = jnp.dot(SxT.T, dsT, preferred_element_type=jnp.float32)  # [bs*nch, T2]
+    dprodT = jnp.dot(SxT.T, dsT, preferred_element_type=jnp.float32)  # [bs*nch, W]
     dtmpT = wxT * dprodT
     dvolT = jax.lax.dot_general(
         dtmpT, wzyT, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [bs*nch, BZY]
+    )  # [bs*nch, bs^2]
     dwzyT = jax.lax.dot_general(
-        volT, dtmpT, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [BZY, T2]
+        vol, dtmpT, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [bs^2, W]
     dfy = jnp.sum(wz * _hat_diff(ycol, fy) * dwzyT, axis=0)
     dfz = jnp.sum(_hat_diff(zcol, fz) * wy * dwzyT, axis=0)
     dfx = jnp.sum(_hat_diff(xcol, fx) * tmpT * dprodT, axis=0)
@@ -363,23 +376,43 @@ def _sample_chain_bwd(boxT, warpT, dST, saved, half, c4, c3):
     return dboxT, dwarpT, dfxw * half, dfyw * half, dfzw * half
 
 
+def _rowoff(R, t2):
+    """Float row offset of each lane of the batched width W = R * T2 (1-D
+    iota then a layout-preserving (1, W) -> (W,) reshape — Mosaic supports
+    neither 1-D iota nor sublane-to-lane reshapes)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, R * t2), 1).reshape(R * t2)
+    return (lane // t2).astype(jnp.float32)
+
+
 def _phase_march(
     scal_ref, boxes_ref, warps_ref, acc, c4, c3,
     ox, oy, oz, dx, dy, dz, tmin, tmax,
-    *, dt, fadescale, fadeexp, max_hit, nbuf, bs,
+    *, dt, fadescale, fadeexp, max_hit, nbuf, bs, rows,
 ):
     """March all needed candidates, accumulating density/color into the step
     buffers. Shared by the forward kernel and backward phase A. Returns
-    (hh_stop, rmin, rmax). Terminates exactly (see module docstring)."""
-    live = tmin < tmax
-    t2 = ox.shape[0]
+    (hh_stop, rmin, rmax). Terminates exactly (see module docstring).
+
+    ``rows`` consecutive step rows are marched per loop iteration: the
+    per-ray vectors arrive lane-tiled to width W = rows*T2 (tiled XLA-side —
+    Mosaic cannot lane-concatenate in-kernel) so the trilinear sample is one
+    wide MXU matmul and the VPU fade/mask work issues rows-at-a-time,
+    amortizing loop and op overhead. Rows outside a candidate's slab
+    interval mask to zero exactly as in the one-row formulation. The
+    scan/termination state uses the untiled [0:T2] lane prefix."""
+    t2 = acc.shape[-1]
+    R = rows
+    tmin_u = tmin[0:t2]
+    tmax_u = tmax[0:t2]
+    live = tmin_u < tmax_u
     dead = jnp.where(live, 0.0, 2.0)
-    tmin_live_max = jnp.max(jnp.where(live, tmin, -jnp.inf))
+    tmin_live_max = jnp.max(jnp.where(live, tmin_u, -jnp.inf))
     half = 0.5 * (bs - 1)
+    rowoff = _rowoff(R, t2)
 
     def cond(carry):
         hh, tnext, r_scan, cum, rmin, rmax = carry
-        boosted = cum + dead + jnp.where(tnext >= tmax, 2.0, 0.0)
+        boosted = cum + dead + jnp.where(tnext >= tmax_u, 2.0, 0.0)
         return (hh < max_hit) & (tnext < 1e8) & (jnp.min(boosted) < 1.0)
 
     def body(carry):
@@ -393,23 +426,25 @@ def _phase_march(
         boxT = boxes_ref[0, hh]
         warpT = None if warps_ref is None else warps_ref[0, hh]
 
-        def row_body(rr, _):
+        def rows_body(i, _):
+            base = r0i + R * i
+            rrf = base.astype(jnp.float32) + rowoff
             _, y0, y1, y2, fade, mask = _row_state(
-                oyv, dyv, tmin, tmax, tin, tout, seg, rr, dt, fadescale, fadeexp
+                oyv, dyv, tmin, tmax, tin, tout, seg, rrf, dt,
+                fadescale, fadeexp,
             )
             sampleT, _ = _sample_chain(boxT, warpT, y0, y1, y2, half, c4, c3)
             u = fade * dt * mask
             a = sampleT[3, :] * u
-            rc = jnp.minimum(rr, nbuf - 1)
-            acc[rc, 0:3, :] += sampleT[0:3, :] * a[None, :]
-            acc[rc, 3, :] += a
+            rgbw = sampleT[0:3, :] * a[None, :]
+            for r in range(R):
+                rc = jnp.minimum(base + r, nbuf - 1)
+                sl = slice(r * t2, (r + 1) * t2)
+                acc[rc, 0:3, :] += rgbw[:, sl]
+                acc[rc, 3, :] += a[sl]
             return 0
 
-        def row2_body(i, c):
-            rr = r0i + 2 * i
-            return row_body(rr + 1, row_body(rr, c))
-
-        jax.lax.fori_loop(0, (r1i - r0i + 1) // 2, row2_body, 0)
+        jax.lax.fori_loop(0, (r1i - r0i + R - 1) // R, rows_body, 0)
 
         nh = jnp.minimum(hh + 1, max_hit - 1)
         tnext2 = jnp.where(hh + 1 < max_hit, scal_ref[0, nh, 12], jnp.float32(1e9))
@@ -441,14 +476,14 @@ def _phase_march(
 
 def _fwd_kernel(
     scal_ref, o_ref, d_ref, mm_ref, boxes_ref, *rest,
-    dt, fadescale, fadeexp, max_hit, nbuf, bs, dowarp,
+    dt, fadescale, fadeexp, max_hit, nbuf, bs, dowarp, rows,
 ):
     if dowarp:
         warps_ref, out_ref, acc = rest
     else:
         out_ref, acc = rest
         warps_ref = None
-    t2 = o_ref.shape[2]
+    t2 = acc.shape[-1]  # untiled tile size; refs are lane-tiled to rows*t2
     ox, oy, oz = o_ref[0, 0, :], o_ref[0, 1, :], o_ref[0, 2, :]
     dx, dy, dz = d_ref[0, 0, :], d_ref[0, 1, :], d_ref[0, 2, :]
     tmin = mm_ref[0, 0, :]
@@ -461,7 +496,7 @@ def _fwd_kernel(
         scal_ref, boxes_ref, warps_ref, acc, c4, c3,
         ox, oy, oz, dx, dy, dz, tmin, tmax,
         dt=dt, fadescale=fadescale, fadeexp=fadeexp,
-        max_hit=max_hit, nbuf=nbuf, bs=bs,
+        max_hit=max_hit, nbuf=nbuf, bs=bs, rows=rows,
     )
 
     def comp_body(rr, carry):
@@ -493,7 +528,7 @@ def _fwd_kernel(
 def _bwd_kernel(
     gid_ref,  # scalar-prefetch: [NT, MH] int32 (-1 = invalid)
     scal_ref, o_ref, d_ref, mm_ref, boxes_ref, *rest,
-    dt, fadescale, fadeexp, max_hit, nbuf, bs, dowarp,
+    dt, fadescale, fadeexp, max_hit, nbuf, bs, dowarp, rows,
 ):
     """See module docstring. gbox/gaff (and gwarp with warp fields) are HBM
     accumulators aliased input->output; the sequential tile grid makes
@@ -501,21 +536,23 @@ def _bwd_kernel(
     if dowarp:
         (warps_ref, g_ref, _gb_in, _ga_in, _gw_in,
          gbox_out, gaff_out, gwarp_out,
-         acc, comp, dbuf, dafbuf, dwbuf, dbox, dafscr, dwarp,
+         acc, comp, compw, dbuf, dafbuf, dwbuf, dbox, dafscr, dwarp,
          stage_box, stage_aff, stage_warp, sems) = rest
     else:
         (g_ref, _gb_in, _ga_in,
          gbox_out, gaff_out,
-         acc, comp, dbuf, dafbuf, dbox, dafscr,
+         acc, comp, compw, dbuf, dafbuf, dbox, dafscr,
          stage_box, stage_aff, sems) = rest
         warps_ref = dwbuf = dwarp = stage_warp = gwarp_out = None
     tile_i = pl.program_id(0)
-    t2 = o_ref.shape[2]
+    t2 = acc.shape[-1]  # untiled tile size; refs are lane-tiled to rows*t2
     ox, oy, oz = o_ref[0, 0, :], o_ref[0, 1, :], o_ref[0, 2, :]
     dx, dy, dz = d_ref[0, 0, :], d_ref[0, 1, :], d_ref[0, 2, :]
     tmin = mm_ref[0, 0, :]
     tmax = mm_ref[0, 1, :]
-    g0, g1, g2, g3 = g_ref[0, 0, :], g_ref[0, 1, :], g_ref[0, 2, :], g_ref[0, 3, :]
+    g0w, g1w, g2w = g_ref[0, 0, :], g_ref[0, 1, :], g_ref[0, 2, :]
+    # untiled lane prefixes for the sequential phase-B scans
+    g0, g1, g2, g3 = (g0w[0:t2], g1w[0:t2], g2w[0:t2], g_ref[0, 3, 0:t2])
     c4 = _col_consts(bs, 4)
     c3 = _col_consts(bs, 3)
     half = 0.5 * (bs - 1)
@@ -526,7 +563,7 @@ def _bwd_kernel(
         scal_ref, boxes_ref, warps_ref, acc, c4, c3,
         ox, oy, oz, dx, dy, dz, tmin, tmax,
         dt=dt, fadescale=fadescale, fadeexp=fadeexp,
-        max_hit=max_hit, nbuf=nbuf, bs=bs,
+        max_hit=max_hit, nbuf=nbuf, bs=bs, rows=rows,
     )
 
     # ---- phase B: composite cotangents per row ----
@@ -548,7 +585,7 @@ def _bwd_kernel(
     q_final = (cum_final < 1.0).astype(jnp.float32)
     # All cotangents vanish past each ray's saturation row; rows beyond the
     # tile's last live saturation row can be skipped entirely in phase C.
-    live = tmin < tmax
+    live = tmin[0:t2] < tmax[0:t2]
     tile_satrow = jnp.max(jnp.where(live, satrow, 0.0)) + 2.0
     tile_satrow_i = jnp.minimum(tile_satrow, float(nbuf)).astype(jnp.int32)
 
@@ -570,6 +607,32 @@ def _bwd_kernel(
     jax.lax.fori_loop(0, rmax - rmin, comp_rev, (zero, zero))
 
     # ---- phase C: re-march, chain per-sample cotangents into VMEM buffers ----
+    # Step rows are batched like phase A (width R*T2); the dbox/dafscr row
+    # sums fall out of the W-axis matmul contractions for free. The comp
+    # scratch is first relaid row-tiled (compw[b] packs rows b*R..b*R+R-1
+    # side by side on the lane axis) so each batched iteration reads its R
+    # rows of cotangents as one [2, W] vector — Mosaic cannot
+    # lane-concatenate in-kernel. Rows outside [rmin, rmax) are zeroed
+    # during the relayout (uninitialized scratch would inject NaN * 0), so
+    # out-of-range rows contribute exactly nothing downstream.
+    R = rows
+    rowoff = _rowoff(R, t2)
+    # padded-column consts: the dvol contraction then lands at the full
+    # BZY lane width of the dbox/dwarp accumulators
+    c4p = _col_consts(bs, 4, padded=True)
+    c3p = _col_consts(bs, 3, padded=True)
+
+    def relayout(bb, _):
+        for r in range(R):
+            rr = bb * R + r
+            rc = jnp.minimum(rr, nbuf - 1)
+            ok = (rr >= rmin) & (rr < rmax)
+            compw[bb, 0, r * t2:(r + 1) * t2] = jnp.where(ok, comp[rc, 0, :], 0.0)
+            compw[bb, 1, r * t2:(r + 1) * t2] = jnp.where(ok, comp[rc, 1, :], 0.0)
+        return 0
+
+    jax.lax.fori_loop(rmin // R, (rmax + R - 1) // R, relayout, 0)
+
     def prim_bwd(hh, _):
         A, b = _read_affine(scal_ref, hh)
         oyv, dyv, tin, tout, seg, (r0i, r1i) = _prim_setup(
@@ -578,27 +641,28 @@ def _bwd_kernel(
         boxT = boxes_ref[0, hh]
         warpT = None if warps_ref is None else warps_ref[0, hh]
         r1i = jnp.minimum(r1i, tile_satrow_i)
-        r0i = jnp.maximum(r0i, rmin)
+        # align the batch base to R so each iteration maps to one compw block
+        r0a = (jnp.maximum(r0i, rmin) // R) * R
+        blk0 = r0a // R
         dbox[...] = jnp.zeros_like(dbox)
         dafscr[...] = jnp.zeros_like(dafscr)
         if dowarp:
             dwarp[...] = jnp.zeros_like(dwarp)
 
-        def row_body(rr, _):
+        def rows_body(i, _):
+            base = r0a + R * i
+            rrf = base.astype(jnp.float32) + rowoff
             t, y0, y1, y2, fade, mask = _row_state(
-                oyv, dyv, tmin, tmax, tin, tout, seg, rr, dt, fadescale, fadeexp
+                oyv, dyv, tmin, tmax, tin, tout, seg, rrf, dt,
+                fadescale, fadeexp,
             )
-            sampleT, saved = _sample_chain(boxT, warpT, y0, y1, y2, half, c4, c3)
+            sampleT, saved = _sample_chain(boxT, warpT, y0, y1, y2, half, c4p, c3p)
             u = fade * dt * mask
             A_s = sampleT[3, :]
-            # The two-row loop can step one row past the written
-            # [rmin, rmax) comp range; gate the reads (uninitialized
-            # scratch would otherwise inject NaN * 0).
-            in_range = (rr >= rmin) & (rr < rmax)
-            rc = jnp.minimum(rr, nbuf - 1)
-            da_r = jnp.where(in_range, comp[rc, 1, :], 0.0)
-            csc = jnp.where(in_range, comp[rc, 0, :], 0.0)
-            dldc0, dldc1, dldc2 = g0 * csc, g1 * csc, g2 * csc
+            cw = compw[blk0 + i]  # [2, W]; zero outside [rmin, rmax)
+            csc = cw[0, :]
+            da_r = cw[1, :]
+            dldc0, dldc1, dldc2 = g0w * csc, g1w * csc, g2w * csc
             rgb_dot = (
                 dldc0 * sampleT[0, :] + dldc1 * sampleT[1, :] + dldc2 * sampleT[2, :]
             )
@@ -608,9 +672,9 @@ def _bwd_kernel(
             dS3 = (da_r + rgb_dot) * u
             g_u = (da_r + rgb_dot) * A_s  # dL/du
 
-            dST = jnp.stack([dS0, dS1, dS2, dS3], axis=0)  # [4, T2]
+            dST = jnp.stack([dS0, dS1, dS2, dS3], axis=0)  # [4, W]
             dboxT, dwarpT, dy0s, dy1s, dy2s = _sample_chain_bwd(
-                boxT, warpT, dST, saved, half, c4, c3
+                boxT, warpT, dST, saved, half, c4p, c3p
             )
             dbox[...] += dboxT
             if dowarp:
@@ -623,9 +687,11 @@ def _bwd_kernel(
             dy2 = dy2s + dfade * fade * c * _pow_abs(y2, fadeexp - 1) * jnp.sign(y2)
 
             # affine gradient: y = pos @ A + b; dA += pos^T dy, db += sum(dy),
-            # via an augmented [4, T2] position against [3, T2] cotangents.
+            # via an augmented [4, W] position against [3, W] cotangents
+            # (the W contraction also sums the R batched rows).
             pos4 = jnp.stack(
-                [ox + dx * t, oy + dy * t, oz + dz * t, jnp.ones_like(t)], axis=0
+                [ox + dx * t, oy + dy * t, oz + dz * t, jnp.ones_like(t)],
+                axis=0,
             )
             dyT = jnp.stack([dy0, dy1, dy2], axis=0)
             dafscr[0:4, 0:3] += jax.lax.dot_general(
@@ -634,11 +700,7 @@ def _bwd_kernel(
             )
             return 0
 
-        def row2_body(i, c):
-            rr = r0i + 2 * i
-            return row_body(rr + 1, row_body(rr, c))
-
-        jax.lax.fori_loop(0, (r1i - r0i + 1) // 2, row2_body, 0)
+        jax.lax.fori_loop(0, (r1i - r0a + R - 1) // R, rows_body, 0)
         dbuf[hh] = dbox[...]
         dafbuf[hh] = dafscr[...]
         if dowarp:
@@ -694,17 +756,22 @@ def _bspec(block, space=None):
 def _forward_pallas(scal, t_o, t_d, t_mm, c_box, c_warp, cfg):
     ntiles, tsz = t_o.shape[0], t_o.shape[2]
     mh, bs = scal.shape[1], cfg["bs"]
+    R = cfg["rows"]
     dowarp = c_warp is not None
     kernel = partial(
         _fwd_kernel, dt=cfg["dt"], fadescale=cfg["fadescale"],
         fadeexp=cfg["fadeexp"], max_hit=mh, nbuf=cfg["nbuf"], bs=bs,
-        dowarp=dowarp,
+        dowarp=dowarp, rows=R,
     )
+    # lane-tile the per-ray vectors R times so the kernel marches R step
+    # rows per iteration as one W = R*tsz wide register (Mosaic cannot
+    # lane-concatenate in-kernel); untiled values are [0:tsz] prefixes
+    t_o, t_d, t_mm = (jnp.tile(x, (1, 1, R)) for x in (t_o, t_d, t_mm))
     in_specs = [
         _bspec((1, mh, 16), pltpu.SMEM),
-        _bspec((1, 3, tsz)),
-        _bspec((1, 3, tsz)),
-        _bspec((1, 2, tsz)),
+        _bspec((1, 3, R * tsz)),
+        _bspec((1, 3, R * tsz)),
+        _bspec((1, 2, R * tsz)),
         _bspec((1, mh, bs * 4, _bzy(bs))),
     ]
     args = [scal, t_o, t_d, t_mm, c_box]
@@ -734,10 +801,17 @@ def _backward_pallas(gid_sp, scal, t_o, t_d, t_mm, c_box, c_warp, g_tiles, nk, c
     ntiles, tsz = t_o.shape[0], t_o.shape[2]
     mh, bs = scal.shape[1], cfg["bs"]
     nbuf = cfg["nbuf"]
+    R = cfg["rows"]
     dowarp = c_warp is not None
     kernel = partial(
         _bwd_kernel, dt=cfg["dt"], fadescale=cfg["fadescale"],
         fadeexp=cfg["fadeexp"], max_hit=mh, nbuf=nbuf, bs=bs, dowarp=dowarp,
+        rows=R,
+    )
+    # lane-tile the per-ray vectors and the incoming cotangent (see
+    # _forward_pallas)
+    t_o, t_d, t_mm, g_tiles = (
+        jnp.tile(x, (1, 1, R)) for x in (t_o, t_d, t_mm, g_tiles)
     )
     gbox = jnp.zeros((nk, bs * 4, _bzy(bs)), jnp.float32)
     gaff = jnp.zeros((nk, 8, 128), jnp.float32)
@@ -756,14 +830,14 @@ def _backward_pallas(gid_sp, scal, t_o, t_d, t_mm, c_box, c_warp, g_tiles, nk, c
         nt_c = o_c.shape[0]
         in_specs = [
             _bspec((1, mh, 16), pltpu.SMEM),
-            _bspec((1, 3, tsz)),
-            _bspec((1, 3, tsz)),
-            _bspec((1, 2, tsz)),
+            _bspec((1, 3, R * tsz)),
+            _bspec((1, 3, R * tsz)),
+            _bspec((1, 2, R * tsz)),
             _bspec((1, mh, bs * 4, _bzy(bs))),
         ]
         if dowarp:
             in_specs.append(_bspec((1, mh, bs * 3, _bzy(bs))))
-        in_specs.append(_bspec((1, 4, tsz)))
+        in_specs.append(_bspec((1, 4, R * tsz)))
         in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))  # gbox acc
         in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))  # gaff acc
         out_specs = [
@@ -777,6 +851,7 @@ def _backward_pallas(gid_sp, scal, t_o, t_d, t_mm, c_box, c_warp, g_tiles, nk, c
         scratch = [
             pltpu.VMEM((nbuf, 4, tsz), jnp.float32),  # acc
             pltpu.VMEM((nbuf, 2, tsz), jnp.float32),  # comp (cscale, da)
+            pltpu.VMEM((-(-nbuf // R), 2, R * tsz), jnp.float32),  # compw
             pltpu.VMEM((mh, bs * 4, _bzy(bs)), jnp.float32),  # dbuf
             pltpu.VMEM((mh, 8, 128), jnp.float32),  # dafbuf
         ]
@@ -992,7 +1067,8 @@ def mvp_raymarch_pallas(*args, interpret=None, **kwargs):
 @partial(
     jax.jit,
     static_argnames=(
-        "stepsize", "fadescale", "fadeexp", "tile", "max_hit", "nbuf", "interpret",
+        "stepsize", "fadescale", "fadeexp", "tile", "max_hit", "nbuf",
+        "interpret", "rows",
     ),
 )
 def _mvp_raymarch_pallas_jit(
@@ -1012,6 +1088,7 @@ def _mvp_raymarch_pallas_jit(
     max_hit: int = 64,
     nbuf: Optional[int] = None,
     interpret: bool = False,
+    rows: int = 4,
     **_unused,
 ) -> jnp.ndarray:
     bs_check = template.shape[2]
@@ -1038,7 +1115,7 @@ def _mvp_raymarch_pallas_jit(
             dict(
                 dt=float(stepsize), fadescale=float(fadescale),
                 fadeexp=float(fadeexp), tile=int(tile), max_hit=int(max_hit),
-                nbuf=int(nbuf), interpret=bool(interpret),
+                nbuf=int(nbuf), interpret=bool(interpret), rows=int(rows),
                 dowarp=warp is not None,
             ).items()
         )
