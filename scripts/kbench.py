@@ -77,7 +77,7 @@ def make_flagship_scene(batch=4, h=512, w=334, nprims=16384, boxsize=8, seed=0):
 
 
 def measure_raymarch(batch=4, h=512, w=334, nprims=16384, steps=3, tile=16,
-                     max_hit=64, seed=0, hbm_gbps=None):
+                     max_hit=64, seed=0, hbm_gbps=None, rows=4):
     """Time the Pallas raymarch fwd/bwd at the given geometry and derive the
     HBM speed-of-light fraction.
 
@@ -97,7 +97,7 @@ def measure_raymarch(batch=4, h=512, w=334, nprims=16384, steps=3, tile=16,
     pp, pr, ps, tpl = (
         jnp.asarray(s[k]) for k in ("primpos", "primrot", "primscale", "template")
     )
-    kw = dict(fadescale=8.0, fadeexp=8.0, tile=tile, max_hit=max_hit)
+    kw = dict(fadescale=8.0, fadeexp=8.0, tile=tile, max_hit=max_hit, rows=rows)
 
     def fwd(pp, pr, ps, tpl):
         return mvp_raymarch_pallas(
@@ -158,6 +158,7 @@ def main():
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--tile", type=int, default=16)
     ap.add_argument("--max-hit", type=int, default=64)
+    ap.add_argument("--rows", type=int, default=4)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
     h, w = map(int, args.hw.split("x"))
@@ -167,7 +168,7 @@ def main():
 
     rep, (fwd, grad, s, arrays) = measure_raymarch(
         args.batch, h, w, args.nprims, steps=args.steps, tile=args.tile,
-        max_hit=args.max_hit, seed=args.seed,
+        max_hit=args.max_hit, seed=args.seed, rows=args.rows,
     )
     print(json.dumps(rep))
 
