@@ -242,17 +242,34 @@ def _col_consts(bs, nch, padded=False):
     padding. padded=True builds over the full BZY row space instead (the
     padding rows carry exactly-zero hat weights for in-box coordinates):
     the backward pass needs this so its dvol contraction lands directly at
-    the 128-lane accumulator width."""
+    the 128-lane accumulator width.
+
+    The hat weights are *separable* over z and y: only nz (=nzy//bs) and bs
+    distinct rows exist, so the builds run at [nz, W] / [bs, W] and are
+    expanded to the full [nzy, W] row space by sublane broadcast (zrep/yrep
+    below) — ~3x fewer VPU ops than building the outer product directly."""
     nzy = _bzy(bs) if padded else bs * bs
-    zy = jax.lax.broadcasted_iota(jnp.int32, (nzy, 1), 0)
-    zcol = (zy // bs).astype(jnp.float32)
-    ycol = (zy % bs).astype(jnp.float32)
+    nz = nzy // bs
+    zsm = jax.lax.broadcasted_iota(jnp.int32, (nz, 1), 0).astype(jnp.float32)
+    ysm = jax.lax.broadcasted_iota(jnp.int32, (bs, 1), 0).astype(jnp.float32)
     xn = jax.lax.broadcasted_iota(jnp.int32, (bs * nch, 1), 0)
     xcol = (xn // nch).astype(jnp.float32)
     crow = jax.lax.broadcasted_iota(jnp.int32, (nch, bs * nch), 0)
     ccol = jax.lax.broadcasted_iota(jnp.int32, (nch, bs * nch), 1)
     SxT = (ccol % nch == crow).astype(jnp.float32)  # [nch, bs*nch]
-    return zcol, ycol, xcol, SxT
+    return zsm, ysm, xcol, SxT
+
+
+def _zrep(w, bs, nzy):
+    """Expand a [nz, W] z-row table to [nzy, W]: row zy -> w[zy // bs]."""
+    nz, wd = w.shape
+    return jnp.broadcast_to(w[:, None, :], (nz, bs, wd)).reshape(nzy, wd)
+
+
+def _yrep(w, nz, nzy):
+    """Expand a [bs, W] y-row table to [nzy, W]: row zy -> w[zy % bs]."""
+    bs, wd = w.shape
+    return jnp.broadcast_to(w[None, :, :], (nz, bs, wd)).reshape(nzy, wd)
 
 
 def _read_affine(scal_ref, hh):
@@ -318,11 +335,13 @@ def _sample_T(volT, fx, fy, fz, consts):
     matmul (W = T2 * rows when step rows are batched). The volume's padded
     BZY lanes are sliced off; zero-padding outside the volume (hat weights
     vanish). Returns (sT [nch, W], saved-for-backward)."""
-    zcol, ycol, xcol, SxT = consts
-    vol = volT[:, : zcol.shape[0]]
-    wz = _hat(zcol, fz)
-    wy = _hat(ycol, fy)
-    wzyT = wz * wy  # [bs^2, W]
+    zsm, ysm, xcol, SxT = consts
+    nz, bs = zsm.shape[0], ysm.shape[0]
+    nzy = nz * bs
+    vol = volT[:, :nzy]
+    wz = _hat(zsm, fz)  # [nz, W] distinct z rows
+    wy = _hat(ysm, fy)  # [bs, W] distinct y rows
+    wzyT = _zrep(wz, bs, nzy) * _yrep(wy, nz, nzy)  # [nzy, W]
     tmpT = jnp.dot(vol, wzyT, preferred_element_type=jnp.float32)  # [bs*nch, W]
     wxT = _hat(xcol, fx)
     prodT = wxT * tmpT
@@ -333,8 +352,10 @@ def _sample_T(volT, fx, fy, fz, consts):
 def _sample_T_bwd(volT, dsT, saved, fx, fy, fz, consts):
     """VJP of _sample_T: returns (dvolT [bs*nch, bs^2], dfx, dfy, dfz [W]);
     dvolT sums over any batched step rows (the W-axis contraction)."""
-    zcol, ycol, xcol, SxT = consts
-    vol = volT[:, : zcol.shape[0]]
+    zsm, ysm, xcol, SxT = consts
+    nz, bs = zsm.shape[0], ysm.shape[0]
+    nzy = nz * bs
+    vol = volT[:, :nzy]
     tmpT, wzyT, wz, wy, wxT = saved
     dprodT = jnp.dot(SxT.T, dsT, preferred_element_type=jnp.float32)  # [bs*nch, W]
     dtmpT = wxT * dprodT
@@ -344,8 +365,14 @@ def _sample_T_bwd(volT, dsT, saved, fx, fy, fz, consts):
     dwzyT = jax.lax.dot_general(
         vol, dtmpT, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )  # [bs^2, W]
-    dfy = jnp.sum(wz * _hat_diff(ycol, fy) * dwzyT, axis=0)
-    dfz = jnp.sum(_hat_diff(zcol, fz) * wy * dwzyT, axis=0)
+    # separable reductions: contract z (resp. y) first at [nz,bs,W], then the
+    # small distinct-row hat-derivative tables finish the job — no full-size
+    # [nzy, W] index-column builds
+    dwzy3 = dwzyT.reshape(nz, bs, dwzyT.shape[-1])
+    ccy = jnp.sum(wz[:, None, :] * dwzy3, axis=0)  # [bs, W]
+    dfy = jnp.sum(_hat_diff(ysm, fy) * ccy, axis=0)
+    ccz = jnp.sum(wy[None, :, :] * dwzy3, axis=1)  # [nz, W]
+    dfz = jnp.sum(_hat_diff(zsm, fz) * ccz, axis=0)
     dfx = jnp.sum(_hat_diff(xcol, fx) * tmpT * dprodT, axis=0)
     return dvolT, dfx, dfy, dfz
 
@@ -436,12 +463,12 @@ def _phase_march(
             sampleT, _ = _sample_chain(boxT, warpT, y0, y1, y2, half, c4, c3)
             u = fade * dt * mask
             a = sampleT[3, :] * u
-            rgbw = sampleT[0:3, :] * a[None, :]
+            rgba = jnp.concatenate(
+                [sampleT[0:3, :] * a[None, :], a[None, :]], axis=0
+            )  # [4, W]
             for r in range(R):
                 rc = jnp.minimum(base + r, nbuf - 1)
-                sl = slice(r * t2, (r + 1) * t2)
-                acc[rc, 0:3, :] += rgbw[:, sl]
-                acc[rc, 3, :] += a[sl]
+                acc[rc] += rgba[:, r * t2 : (r + 1) * t2]
             return 0
 
         jax.lax.fori_loop(0, (r1i - r0i + R - 1) // R, rows_body, 0)
@@ -454,11 +481,24 @@ def _phase_march(
             jnp.floor((tnext2 - tmin_live_max) / dt), 0.0, float(nbuf)
         ).astype(jnp.int32)
 
-        def scan_body(r, cum):
-            return cum + acc[r, 3, :]
+        # advance the density scan in 8-row blocks (a serial row-by-row loop
+        # here costs ~nbuf iterations per tile); rows outside [block start,
+        # rhi2) are masked off, and the block base is clamped so the dynamic
+        # slice never reads past nbuf (masking keeps clamped reads exact)
+        rhi2 = jnp.maximum(rhi, r_scan)
+        B = min(8, nbuf)
+        srow = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
 
-        cum = jax.lax.fori_loop(r_scan, jnp.maximum(rhi, r_scan), scan_body, cum)
-        return hh + 1, tnext2, jnp.maximum(rhi, r_scan), cum, rmin, rmax
+        def scan_blk(i, cum):
+            start = r_scan + B * i
+            base = jnp.maximum(jnp.minimum(start, nbuf - B), 0)
+            rows = base + srow
+            blk = acc[pl.ds(base, B), 3, :]  # [B, t2]
+            blk = jnp.where((rows >= start) & (rows < rhi2), blk, 0.0)
+            return cum + jnp.sum(blk, axis=0)
+
+        cum = jax.lax.fori_loop(0, (rhi2 - r_scan + B - 1) // B, scan_blk, cum)
+        return hh + 1, tnext2, rhi2, cum, rmin, rmax
 
     t2f = jnp.zeros((t2,), jnp.float32)
     hh_stop, _, _, _, rmin, rmax = jax.lax.while_loop(
