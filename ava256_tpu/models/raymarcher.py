@@ -78,37 +78,39 @@ class Raymarcher:
             if prim_mask is None:
                 prim_mask = jnp.ones(primpos.shape[:2], jnp.float32)
 
-            def march(rp, rd, tmm, pm, pp, pr, ps, tpl):
+            def march(rp, rd, tmm, pm, pp, pr, ps, tpl, *wp):
                 return mvp_raymarch_pallas(
-                    rp, rd, self.dt, tmm, pp, pr, ps, tpl, warp,
+                    rp, rd, self.dt, tmm, pp, pr, ps, tpl,
+                    wp[0] if wp else None,
                     prim_mask=pm,
                     fadescale=self.fadescale, fadeexp=self.fadeexp,
                     **options,
                 )
 
+            margs = (
+                raypos, raydir, tminmax, prim_mask,
+                primpos, primrot, primscale, template,
+            ) + (() if warp is None else (warp,))
             n = raypos.shape[0]
             if (
                 mesh is not None
                 and data_axis in mesh.shape
                 and mesh.shape[data_axis] > 1
                 and n % mesh.shape[data_axis] == 0
-                and warp is None
             ):
                 # Run the kernels per batch shard: pallas_call has no GSPMD
                 # partitioning rule, so without this XLA would all-gather the
-                # batch and march it replicated on every device.
+                # batch and march it replicated on every device. The warp
+                # volume (when present) is batch-sharded like the template.
                 from jax.experimental.shard_map import shard_map
                 from jax.sharding import PartitionSpec as P
 
                 spec = P(data_axis)
                 march = shard_map(
-                    march, mesh=mesh, in_specs=(spec,) * 8, out_specs=spec,
-                    check_rep=False,
+                    march, mesh=mesh, in_specs=(spec,) * len(margs),
+                    out_specs=spec, check_rep=False,
                 )
-            rayrgba = march(
-                raypos, raydir, tminmax, prim_mask,
-                primpos, primrot, primscale, template,
-            )
+            rayrgba = march(*margs)
         else:
             raise ValueError(f"unknown raymarch backend: {self.backend}")
 

@@ -37,7 +37,9 @@ The kernel keeps a scan pointer over the density step buffer and stops
 marching candidates once every live ray has saturated strictly below the
 next candidate's earliest reachable row — by construction the remaining
 candidates cannot change the composite, so the early-out output equals the
-full march bit-for-bit.
+full march. (The saturation scan sums rows in 8-row blocks; a conservative
+1e-5 margin on the >=1 test absorbs the block-reorder rounding, so rounding
+can only cause extra marching, never an early stop.)
 
 nbuf (the step-row buffer depth) truncates the march: tmax is clamped to
 tmin + nbuf*dt before culling, so a too-small nbuf means a shorter marching
@@ -249,6 +251,14 @@ def _col_consts(bs, nch, padded=False):
     expanded to the full [nzy, W] row space by sublane broadcast (zrep/yrep
     below) — ~3x fewer VPU ops than building the outer product directly."""
     nzy = _bzy(bs) if padded else bs * bs
+    if nzy % bs != 0:
+        # The separable z/y expansion (and the backward dvol contraction
+        # landing at the [bs*nch, _bzy(bs)] accumulator width) require the
+        # padded row space to be a whole number of z-planes.
+        raise ValueError(
+            f"primsize {bs} needs _bzy({bs})={_bzy(bs)} divisible by {bs}; "
+            "use a power-of-two primsize"
+        )
     nz = nzy // bs
     zsm = jax.lax.broadcasted_iota(jnp.int32, (nz, 1), 0).astype(jnp.float32)
     ysm = jax.lax.broadcasted_iota(jnp.int32, (bs, 1), 0).astype(jnp.float32)
@@ -440,7 +450,13 @@ def _phase_march(
     def cond(carry):
         hh, tnext, r_scan, cum, rmin, rmax = carry
         boosted = cum + dead + jnp.where(tnext >= tmax_u, 2.0, 0.0)
-        return (hh < max_hit) & (tnext < 1e8) & (jnp.min(boosted) < 1.0)
+        # Conservative saturation margin: the blocked scan sums 8 rows at a
+        # time, which reorders the compositor's strictly row-sequential
+        # accumulation. The densities are nonnegative, so when the true
+        # sequential sum is < 1 the reorder error is bounded by
+        # ~7 ulp(1) ≈ 4e-7 — a 1e-5 margin means rounding can only cause
+        # extra marching, never a premature stop.
+        return (hh < max_hit) & (tnext < 1e8) & (jnp.min(boosted) < 1.0 + 1e-5)
 
     def body(carry):
         hh, tnext, r_scan, cum, rmin, rmax = carry
@@ -1132,9 +1148,11 @@ def _mvp_raymarch_pallas_jit(
     **_unused,
 ) -> jnp.ndarray:
     bs_check = template.shape[2]
-    if (bs_check**3 * 4) % 128 != 0:
+    if (bs_check**3 * 4) % 128 != 0 or _bzy(bs_check) % bs_check != 0:
         raise ValueError(
-            f"pallas backend needs primsize^3*4 divisible by 128, got {bs_check}"
+            "pallas backend needs primsize^3*4 divisible by 128 and "
+            f"ceil(primsize^2, 128) divisible by primsize, got {bs_check} "
+            "(use a power-of-two primsize)"
         )
     if nbuf is None:
         # cover the [-1,1]^3 cube diagonal (raydirs clamps tminmax to it)

@@ -15,6 +15,10 @@ of skipping work *during* the march we compact the work list *before* it:
 3. **Sample compaction** — each ray enumerates at most ``max_samples`` sample
    points (t = tmin + k*dt restricted to its intervals), globally sorted by t.
    Work is proportional to *useful* samples instead of cube-crossing steps.
+   ``max_samples`` is a static budget: rays needing more drop their farthest
+   samples, and a runtime warning (jax.debug.print) reports how many rays
+   overflowed. On dense scenes prefer the pallas backend (no such budget) or
+   raise ``max_samples``.
 4. **Evaluation + saturating scan** — each sample transforms into its
    primitive's frame, applies the border fade, trilinearly samples the RGBA
    box (align_corners=True), and the sorted samples are composited with the
@@ -217,8 +221,14 @@ def mvp_raymarch_xla(
         # widened by one step on each side (the in-box mask is exact).
         kin = jnp.floor((tin - tmin[:, None, :]) / dt) - 1.0
         kin = jnp.maximum(kin, 0.0)
-        cnt = jnp.ceil((tout - tmin[:, None, :]) / dt) - kin + 1.0
-        cnt = jnp.where(seg_ok, jnp.clip(cnt, 0.0, float(max_samples)), 0.0)
+        cnt_raw = jnp.ceil((tout - tmin[:, None, :]) / dt) - kin + 1.0
+        cnt_raw = jnp.where(seg_ok, jnp.maximum(cnt_raw, 0.0), 0.0)
+        # rays whose total candidate-sample demand exceeds the static budget
+        # get their farthest samples dropped; count them so the caller can warn
+        n_overflow = jnp.sum(
+            (jnp.sum(cnt_raw, axis=1) > float(max_samples)).astype(jnp.int32)
+        )
+        cnt = jnp.clip(cnt_raw, 0.0, float(max_samples))
         kin = kin.astype(jnp.int32).transpose(0, 2, 1)  # [CT, T2, MH]
         cnt = cnt.astype(jnp.int32).transpose(0, 2, 1)
 
@@ -288,7 +298,7 @@ def mvp_raymarch_xla(
         contrib = m - jnp.concatenate([jnp.zeros_like(m[..., :1]), m[..., :-1]], axis=-1)
         rgb = jnp.sum(contrib[..., None] * sample[..., 0:3], axis=-2)  # [CT, T2, 3]
         alpha = m[..., -1:]
-        return jnp.concatenate([rgb, alpha], axis=-1)  # [CT, T2, 4]
+        return jnp.concatenate([rgb, alpha], axis=-1), n_overflow  # [CT, T2, 4]
 
     nchunks = max(1, -(-ntiles // chunk_tiles))
     ntp = nchunks * chunk_tiles
@@ -300,7 +310,24 @@ def mvp_raymarch_xla(
         ).reshape((nchunks, chunk_tiles) + x.shape[1:])
 
     chunks = (padt(t_o), padt(t_d), padt(t_mm), padt(cand_gid), padt(cand_valid))
-    out = jax.lax.map(jax.checkpoint(process), chunks)
+    out, overflow = jax.lax.map(jax.checkpoint(process), chunks)
+    overflow = jnp.sum(overflow)
+    # The sample budget is a static contract: rays needing more than
+    # max_samples useful samples get their farthest samples dropped. That is
+    # a visible (darker) artifact, so report it loudly rather than silently
+    # truncating (the pallas backend has no such budget and is the
+    # production path; this backend is the oracle-adjacent/debug path).
+    jax.lax.cond(
+        overflow > 0,
+        lambda c: jax.debug.print(
+            "WARNING mvp_raymarch_xla: {c} rays exceeded max_samples={ms}; "
+            "their farthest samples were dropped. Raise max_samples or use "
+            "the pallas backend.",
+            c=c, ms=max_samples, ordered=False,
+        ),
+        lambda c: None,
+        overflow,
+    )
     out = out.reshape(ntp, tsz, 4)[:ntiles]
 
     # Un-tile and crop padding.

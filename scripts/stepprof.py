@@ -29,11 +29,89 @@ def timeit(fn, *args, n=3, **kw):
     return (time.time() - t0) / n
 
 
+def components(model, state, mb, rng, n=3):
+    """Per-submodule fwd/grad seconds at the given batch shapes.
+
+    Times each stage of the step in isolation (jitted separately) so the
+    train-step budget is attributable: identity encoder, expression
+    encoder+VAE, geometry decoder, RGB decoder, geomap/postex, full
+    assembler, background model, optimizer update. The raymarch kernels are
+    covered by scripts/kbench.py.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    out = {}
+    params, stats = state.params, state.stats
+
+    def timed(name, method_fn, *args, grad=True):
+        def run(p):
+            y = model.apply({"params": p, "stats": stats}, *args, method=method_fn,
+                            rngs={"samples": rng})
+            leaves = [x for x in jax.tree_util.tree_leaves(y)
+                      if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)]
+            return sum(jnp.sum(x.astype(jnp.float32)) for x in leaves)
+
+        fwd = jax.jit(run)
+        out[name + "_fwd_s"] = round(timeit(fwd, params, n=n), 4)
+        if grad:
+            g = jax.jit(jax.grad(run))
+            out[name + "_grad_s"] = round(timeit(g, params, n=n), 4)
+
+    nb = mb["neut_verts"].shape[0]
+    timed("id_encoder",
+          lambda m, v, t: m.identity_encoder(v, t),
+          mb["neut_verts"], mb["neut_avgtex"])
+    timed("expr_encoder_vae",
+          lambda m, v, a, nv, na: m.bottleneck(
+              m.expression_encoder(verts=v, avgtex=a, neut_verts=nv, neut_avgtex=na),
+              deterministic=True)[0],
+          mb["verts"], mb["avgtex"], mb["neut_verts"], mb["neut_avgtex"])
+
+    # identity conditioning + expression code as fixed inputs downstream
+    idc = jax.jit(lambda p: model.apply(
+        {"params": p, "stats": stats},
+        mb["neut_verts"], mb["neut_avgtex"],
+        method=lambda m, v, t: m.identity_encoder(v, t)))(params)
+    expr = jnp.zeros((nb, 4, 4, 16), mb["neut_avgtex"].dtype)
+    viewpos = jnp.ones((nb, 3), jnp.float32)
+    viewdirs = viewpos / jnp.sqrt(3.0)
+
+    timed("geo_decoder",
+          lambda m, e, z, b: m.decoder_assembler.geodec(e, z, list(b)),
+          expr, idc["z_geo"], tuple(idc["b_geo"]))
+    timed("rgb_decoder",
+          lambda m, e, z, b, v: m.decoder_assembler.rgbdec(e, z, list(b), v),
+          expr, idc["z_tex"], tuple(idc["b_tex"]), viewdirs)
+    timed("geomap_postex",
+          lambda m, g: m.decoder_assembler._postex(g),
+          jnp.zeros((nb,) + tuple(jnp.asarray(model.decoder_assembler.vertmean).shape),
+                    jnp.float32))
+    timed("assembler_total",
+          lambda m, i, e, v: m.decoder_assembler(i, e, v),
+          idc, expr, viewpos)
+    if model.bgmodel is not None:
+        timed("bgmodel",
+              lambda m, c, i, s: m.bgmodel(c, i, s),
+              mb["camindex"], mb["idindex"],
+              jnp.zeros(mb["pixelcoords"].shape, jnp.float32))
+
+    # optimizer update alone (grads = params-shaped ones)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+
+    def opt(s):
+        return s.apply_gradients(grads=grads)
+
+    out["optimizer_s"] = round(timeit(jax.jit(opt), state, n=n), 4)
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--trace", default=None)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--hw", default="512x334")
+    ap.add_argument("--components", action="store_true")
     args = ap.parse_args()
 
     from ava256_tpu.platform import respect_env_platforms
@@ -102,6 +180,8 @@ def main() -> None:
     except Exception:
         t_fwd_nr = None
 
+    comp = components(model, state, mb, rng) if args.components else None
+
     # train_step donates the state: chain it through the timing loop
     state, loss, _ = train_step(state, mb, rng)
     jax.block_until_ready(loss)
@@ -117,12 +197,15 @@ def main() -> None:
             state, loss, _ = train_step(state, mb, rng)
             jax.block_until_ready(loss)
 
-    print(json.dumps({
+    rep = {
         "fwd_s": round(t_fwd, 4),
         "fwd_norender_s": None if t_fwd_nr is None else round(t_fwd_nr, 4),
         "train_step_s": round(t_step, 4),
         "bwd_plus_opt_s": round(t_step - t_fwd, 4),
-    }))
+    }
+    if comp is not None:
+        rep["components"] = comp
+    print(json.dumps(rep))
 
 
 if __name__ == "__main__":

@@ -114,3 +114,47 @@ def test_pallas_march_sharded_grads_match_single_device():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5, err_msg=name
         )
+
+
+def test_pallas_warp_march_sharded_grads_match_single_device():
+    """The warp-carrying march also shards: the Raymarcher front-end threads
+    the warp volume as a batch-sharded shard_map operand (round-2 gap: a
+    warp-carrying decode on a mesh silently replicated the march)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs multiple devices")
+    from ava256_tpu.models.raymarcher import Raymarcher
+    from tests.test_raymarch import make_scene
+
+    ndev = 4
+    s = make_scene(N=ndev, H=17, W=17, k3=2, M=8, warp=True)
+    mesh = make_mesh(n_devices=ndev, axis_names=("data",))
+    args = {k: jnp.asarray(s[k]) for k in
+            ("raypos", "raydir", "tminmax", "primpos", "primrot", "primscale",
+             "template", "warp")}
+    volradius = 1.0 / s["stepsize"]  # front-end computes dt = 1/volradius
+
+    def run(marcher, pp, pr, ps, tpl, wrp):
+        decout = {"primpos": pp, "primrot": pr, "primscale": ps,
+                  "template": tpl, "warp": wrp}
+        rgb, alpha, _ = marcher(args["raypos"], args["raydir"],
+                                args["tminmax"], decout)
+        return jnp.sum(rgb) + jnp.sum(alpha)
+
+    opts = dict(fadescale=6.5, fadeexp=8.0, interpret=True,
+                tile=8, max_hit=8, nbuf=64)
+    single = Raymarcher(volradius, backend="pallas", **opts)
+    sharded = Raymarcher(volradius, backend="pallas", mesh=mesh, **opts)
+
+    prims = [args[k] for k in ("primpos", "primrot", "primscale", "template",
+                               "warp")]
+    g1 = jax.grad(lambda *p: run(single, *p), argnums=(0, 1, 2, 3, 4))(*prims)
+    sh = shard_batch({k: np.asarray(v) for k, v in args.items()}, mesh)
+    g2 = jax.jit(jax.grad(lambda *p: run(sharded, *p), argnums=(0, 1, 2, 3, 4)))(
+        sh["primpos"], sh["primrot"], sh["primscale"], sh["template"],
+        sh["warp"]
+    )
+    for name, a, b in zip(("primpos", "primrot", "primscale", "template",
+                           "warp"), g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5, err_msg=name
+        )
