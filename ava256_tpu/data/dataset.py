@@ -259,6 +259,10 @@ class SingleCaptureDataset:
         camera = self.cameras[idx % len(self.cameras)]
         return seg, frame, camera
 
+    def item_camindex(self, idx: int) -> int:
+        """Camera index of item ``idx`` without fetching it (split support)."""
+        return idx % len(self.cameras)
+
     def __getitem__(self, idx: int) -> Optional[Dict[str, Any]]:
         _, frame, camera = self.item_ids(idx)
         return self.fetch(frame, camera)
@@ -354,6 +358,13 @@ class MultiCaptureDataset:
     def __len__(self) -> int:
         return self.total_len
 
+    def item_camindex(self, idx: int) -> int:
+        ds_idx = bisect.bisect_right(self.cumulative_sizes, idx)
+        sample_idx = idx if ds_idx == 0 else idx - self.cumulative_sizes[ds_idx - 1]
+        return self.single_capture_datasets[self.captures[ds_idx]].item_camindex(
+            int(sample_idx)
+        )
+
     def get_allcameras(self) -> Set[str]:
         out: Set[str] = set()
         for ds in self.single_capture_datasets.values():
@@ -379,6 +390,48 @@ def none_collate(items: List[Optional[Dict[str, Any]]]) -> Optional[Dict[str, An
         else:
             out[k] = vals
     return out
+
+
+class CameraSplit:
+    """Camera-level train/held-out split as a view over any capture dataset.
+
+    The base dataset keeps ALL cameras (so ``get_allcameras``/``camindex``
+    and the per-camera colorcal/background tables stay globally indexed);
+    the view only restricts which items iterate. ``heldout=False`` yields
+    the training split (holdout cameras excluded), ``heldout=True`` yields
+    the evaluation split (holdout cameras only). The reference has no such
+    split anywhere — BASELINE.json's "held-out cameras" fidelity target
+    needs one (reference: ddp-train.py iterates all cameras).
+    """
+
+    def __init__(self, dataset, holdout_camindices, heldout: bool):
+        self.dataset = dataset
+        hold = {int(c) for c in holdout_camindices}
+        self._indices = [
+            i for i in range(len(dataset))
+            if (dataset.item_camindex(i) in hold) == heldout
+        ]
+        if not self._indices:
+            raise ValueError(
+                f"camera split (heldout={heldout}, cams={sorted(hold)}) is empty"
+            )
+
+    def __getattr__(self, name):
+        return getattr(self.dataset, name)
+
+    def __getitem__(self, idx: int):
+        return self.dataset[self._indices[int(idx)]]
+
+    def __len__(self) -> int:
+        return len(self._indices)
+
+
+def last_n_camindices(dataset, n: int) -> List[int]:
+    """The deterministic holdout set: the last ``n`` camera indices."""
+    ncams = len(dataset.get_allcameras())
+    if not 0 < n < ncams:
+        raise ValueError(f"holdout_cameras={n} must be in (0, {ncams})")
+    return list(range(ncams - n, ncams))
 
 
 def train_csv_loader(

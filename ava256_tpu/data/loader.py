@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import queue
 import threading
-import time
 from typing import Any, Callable, Dict, Iterator, Optional
 
 import numpy as np
@@ -111,7 +110,8 @@ class ShardedLoader:
 
         job_q: "queue.Queue" = queue.Queue()
         results: Dict[int, Any] = {}
-        lock = threading.Lock()
+        cond = threading.Condition()
+        served_box = [0]  # next batch index the consumer needs
 
         for i, b in enumerate(batches):
             job_q.put((i, b))
@@ -122,15 +122,17 @@ class ShardedLoader:
                     i, b = job_q.get_nowait()
                 except queue.Empty:
                     return
-                # Bound in-flight batches to the prefetch depth.
-                while True:
-                    with lock:
-                        if len(results) < self.prefetch:
-                            break
-                    time.sleep(0.001)
+                # Bound in-flight batches to the prefetch depth — but never
+                # block the batch the consumer is waiting on (otherwise
+                # faster workers can fill the window with later indices and
+                # deadlock the pipeline).
+                with cond:
+                    while len(results) >= self.prefetch and i != served_box[0]:
+                        cond.wait()
                 batch = self.collate([self.dataset[int(j)] for j in b])
-                with lock:
+                with cond:
                     results[i] = batch
+                    cond.notify_all()
 
         threads = [
             threading.Thread(target=worker, daemon=True) for _ in range(self.num_workers)
@@ -138,16 +140,14 @@ class ShardedLoader:
         for t in threads:
             t.start()
 
-        served = 0
-        while served < len(batches):
-            with lock:
-                ready = served in results
-            if ready:
-                with lock:
-                    yield results.pop(served)
-                served += 1
-            else:
-                time.sleep(0.001)
+        for served in range(len(batches)):
+            with cond:
+                while served not in results:
+                    cond.wait()
+                batch = results.pop(served)
+                served_box[0] = served + 1
+                cond.notify_all()
+            yield batch
 
     def __len__(self) -> int:
         n = len(self._epoch_indices())

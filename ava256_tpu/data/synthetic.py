@@ -95,6 +95,10 @@ class SyntheticDataset:
     def __len__(self) -> int:
         return self.nident * self.ncams * self.nframes
 
+    def item_camindex(self, idx: int) -> int:
+        """Camera index of item ``idx`` without fetching it (split support)."""
+        return (idx // self.nident) % self.ncams
+
     def __getitem__(self, idx: int) -> Dict[str, Any]:
         ident = idx % self.nident
         cam = (idx // self.nident) % self.ncams

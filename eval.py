@@ -41,6 +41,11 @@ def main():
     parser.add_argument("--checkpoint", required=True)
     parser.add_argument("--num-items", type=int, default=32)
     parser.add_argument("--stride", type=int, default=1)
+    parser.add_argument(
+        "--holdout-cameras", type=int, default=0,
+        help="evaluate ONLY on the last N cameras (the held-out split); "
+        "train with data.holdout_cameras=N so they never appear in training",
+    )
     parser.add_argument("--opts", default=[], nargs="+")
     args = parser.parse_args()
 
@@ -49,7 +54,9 @@ def main():
 
     from train import build_dataset, to_model_batch
 
-    dataset = build_dataset(cfg)
+    if args.holdout_cameras:
+        cfg.data.holdout_cameras = args.holdout_cameras
+    dataset = build_dataset(cfg, heldout=bool(args.holdout_cameras))
     uv_res = cfg.data.synthetic_texsize if cfg.data.synthetic else 1024
     uvdata = create_uv_baridx(f"{cfg.assets}/face_topology.obj", resolution=uv_res)
     model = get_autoencoder(
@@ -109,6 +116,7 @@ def main():
 
     result = {
         "metric": "reconstruction_quality",
+        "split": "heldout_cameras" if args.holdout_cameras else "train",
         "items": n_done,
         "psnr_db": round(float(np.mean(psnrs)), 3),
         "ssim": round(float(np.mean(ssims)), 4),

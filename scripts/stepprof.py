@@ -45,18 +45,25 @@ def components(model, state, mb, rng, n=3):
     params, stats = state.params, state.stats
 
     def timed(name, method_fn, *args, grad=True):
-        def run(p):
-            y = model.apply({"params": p, "stats": stats}, *args, method=method_fn,
+        # args are jit operands (NOT closure captures: captured device arrays
+        # become embedded HLO constants — the 1024^2 bias pyramids alone
+        # overflow the remote-compile request limit).
+        def run(p, *a):
+            y = model.apply({"params": p, "stats": stats}, *a, method=method_fn,
                             rngs={"samples": rng})
             leaves = [x for x in jax.tree_util.tree_leaves(y)
                       if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)]
             return sum(jnp.sum(x.astype(jnp.float32)) for x in leaves)
 
         fwd = jax.jit(run)
-        out[name + "_fwd_s"] = round(timeit(fwd, params, n=n), 4)
+        out[name + "_fwd_s"] = round(timeit(fwd, params, *args, n=n), 4)
         if grad:
             g = jax.jit(jax.grad(run))
-            out[name + "_grad_s"] = round(timeit(g, params, n=n), 4)
+            out[name + "_grad_s"] = round(timeit(g, params, *args, n=n), 4)
+        # stream partial results so a late failure doesn't lose the breakdown
+        print(f"# {name}: fwd {out[name + '_fwd_s']}s"
+              + (f" grad {out[name + '_grad_s']}s" if grad else ""),
+              file=sys.stderr, flush=True)
 
     nb = mb["neut_verts"].shape[0]
     timed("id_encoder",
@@ -97,12 +104,20 @@ def components(model, state, mb, rng, n=3):
               jnp.zeros(mb["pixelcoords"].shape, jnp.float32))
 
     # optimizer update alone (grads = params-shaped ones)
+    from ava256_tpu.train.state import make_optimizer
+
+    tx = make_optimizer()
+    opt_state = jax.jit(tx.init)(params)
+
+    def opt(g, os, p, step):
+        updates, os = tx.update(g, os, p, step=step)
+        return jax.tree_util.tree_map(lambda a, b: a + b, p, updates), os
+
     grads = jax.tree_util.tree_map(jnp.ones_like, params)
-
-    def opt(s):
-        return s.apply_gradients(grads=grads)
-
-    out["optimizer_s"] = round(timeit(jax.jit(opt), state, n=n), 4)
+    out["optimizer_s"] = round(
+        timeit(jax.jit(opt), grads, opt_state, params, state.step, n=n), 4
+    )
+    print(f"# optimizer: {out['optimizer_s']}s", file=sys.stderr, flush=True)
     return out
 
 

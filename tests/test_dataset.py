@@ -194,6 +194,42 @@ def test_loader_set_position_resumes_exact_order(capture_dir):
     assert resumed == full[k : k + len(resumed)]
 
 
+def test_camera_split_partitions_items(capture_dir):
+    """Held-out camera split: train and heldout views partition the items,
+    the heldout view only yields the reserved cameras, and global camera
+    indexing (colorcal/bg tables) is unchanged."""
+    from ava256_tpu.data import CameraSplit, last_n_camindices
+
+    cap = MugsyCapture(mcd="20260101", mct="0000", sid="tst001")
+    ds = SingleCaptureDataset(cap, str(capture_dir), downsample=32)
+    held = last_n_camindices(ds, 1)
+    train_view = CameraSplit(ds, held, heldout=False)
+    eval_view = CameraSplit(ds, held, heldout=True)
+
+    assert len(train_view) + len(eval_view) == len(ds)
+    assert len(eval_view) == 3  # 1 camera x 3 frames
+    for i in range(len(eval_view)):
+        item = eval_view[i]
+        assert int(item["camindex"]) in held
+    for i in range(len(train_view)):
+        item = train_view[i]
+        assert int(item["camindex"]) not in held
+    # attribute delegation: the view exposes the full camera set and stats
+    assert train_view.get_allcameras() == ds.get_allcameras()
+    assert train_view.vertstd == ds.vertstd
+
+    # synthetic dataset supports the same split
+    sds = SyntheticDataset(nident=2, ncams=4, nframes=2, height=8, width=8,
+                           texsize=16, nverts=16)
+    sheld = last_n_camindices(sds, 2)
+    sv = CameraSplit(sds, sheld, heldout=True)
+    assert len(sv) == len(sds) // 2
+    assert all(int(sv[i]["camindex"]) in sheld for i in range(len(sv)))
+
+    with pytest.raises(ValueError):
+        last_n_camindices(ds, 99)
+
+
 def test_loader_process_pool(capture_dir):
     from ava256_tpu.data.loader import ShardedLoader
 

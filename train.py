@@ -48,7 +48,21 @@ from ava256_tpu.utils import render_img, setup_logging
 FRONTAL_CAMERAS = ["401168", "401875", "402040", "401031"]
 
 
-def build_dataset(cfg):
+def build_dataset(cfg, heldout: bool = False):
+    """Build the configured dataset. ``data.holdout_cameras: N`` reserves the
+    last N cameras as a held-out evaluation split: training (and rendering)
+    iterate the remaining cameras; ``eval.py --holdout-cameras N`` evaluates
+    on the reserved ones (heldout=True)."""
+    ds = _build_base_dataset(cfg)
+    n = int(cfg.data.get("holdout_cameras", 0) or 0)
+    if n:
+        from ava256_tpu.data import CameraSplit, last_n_camindices
+
+        ds = CameraSplit(ds, last_n_camindices(ds, n), heldout=heldout)
+    return ds
+
+
+def _build_base_dataset(cfg):
     if cfg.data.synthetic:
         base_verts = None
         mesh_bin = Path(cfg.assets) / "021924.bin"
