@@ -78,8 +78,55 @@ from ava256_tpu.ops.raymarch_xla import _ceil_to
 # ---------------------------------------------------------------------------
 
 
+def _cone_test(centers, rads, live, apex, axis, tanmax, dmax, tile_tmin,
+               tile_tmax, dt):
+    """Per-tile cone-vs-sphere test. centers [NT,P,3], rads/live [NT,P];
+    the remaining args are per-tile [NT(,3)] cone quantities. Returns
+    (hit [NT,P] bool, t_start [NT,P]) where t_start is a sound lower bound
+    on the first ray parameter at which the sphere can contribute for ANY
+    ray of the tile: t >= t_c - rad - |v| * |d - axis|."""
+    v = centers - apex[:, None, :]
+    t_c = jnp.einsum("tpc,tc->tp", v, axis)
+    dist = jnp.linalg.norm(v - t_c[..., None] * axis[:, None, :], axis=-1)
+    hit = (
+        (dist <= rads + jnp.maximum(t_c, 0.0) * tanmax[:, None] + dt)
+        & (t_c + rads >= tile_tmin[:, None])
+        & (t_c - rads <= tile_tmax[:, None])
+        & (tile_tmax > tile_tmin)[:, None]
+        & live
+    )
+    t_start = t_c - rads - jnp.hypot(t_c, dist) * dmax[:, None]
+    return hit, t_start
+
+
+@lru_cache(maxsize=None)
+def _group_table(K: int, group_size: int):
+    """[G, g] member-index table grouping primitives into spatially compact
+    blocks for the coarse cull stage. Primitives are laid out row-major on an
+    nh x nh slab grid (decoder contract: models/decoders/geometry.py), so
+    square gb x gb blocks of that grid are compact surface patches; when K
+    isn't a perfect square, fall back to consecutive-index strips (still
+    sound, just weaker grouping)."""
+    import numpy as np
+
+    nh = int(round(K**0.5))
+    if nh * nh == K:
+        gb = max(1, int(round(group_size**0.5)))
+        while nh % gb:
+            gb -= 1
+        ids = np.arange(K, dtype=np.int32).reshape(nh // gb, gb, nh // gb, gb)
+        return np.ascontiguousarray(
+            ids.transpose(0, 2, 1, 3).reshape(-1, gb * gb)
+        )
+    g = min(group_size, K)
+    while K % g:
+        g -= 1
+    return np.arange(K, dtype=np.int32).reshape(-1, g)
+
+
 def _tile_and_cull(raypos, raydir, tminmax, primpos, primscale, prim_mask,
-                   tile, max_hit, dt):
+                   tile, max_hit, dt, cull_group_size=256, cull_max_groups=8,
+                   two_stage=None):
     n, h, w = raypos.shape[0], raypos.shape[1], raypos.shape[2]
     K = primpos.shape[1]
     hp, wp = _ceil_to(h, tile), _ceil_to(w, tile)
@@ -118,31 +165,70 @@ def _tile_and_cull(raypos, raydir, tminmax, primpos, primscale, prim_mask,
     tile_tmin = jnp.min(jnp.where(live, t_mm[:, 0], big), axis=1)
     tile_tmax = jnp.max(jnp.where(live, t_mm[:, 1], -big), axis=1)
 
-    centers = primpos[tile_b]
-    rads = radii[tile_b]
-    v = centers - apex[:, None, :]
-    t_c = jnp.einsum("tkc,tc->tk", v, axis)
-    dist = jnp.linalg.norm(v - t_c[..., None] * axis[:, None, :], axis=-1)
-    hit = (
-        (dist <= rads + jnp.maximum(t_c, 0.0) * tanmax[:, None] + dt)
-        & (t_c + rads >= tile_tmin[:, None])
-        & (t_c - rads <= tile_tmax[:, None])
-        & (tile_tmax > tile_tmin)[:, None]
-        # physical primitive culling (reference: models/autoencoder.py:214-228
-        # drops alpha-masked prims to shrink the march)
-        & (prim_mask[tile_b] > 0.5)
-    )
-    # Sound lower bound on the first ray parameter at which the primitive can
-    # contribute for ANY ray of the tile: t >= t_c - rad - |v| * |d - axis|.
-    t_start = t_c - rads - jnp.hypot(t_c, dist) * dmax[:, None]
-    key = jnp.where(hit, t_start, jnp.inf)
-    # top_k (earliest-reachable-first) instead of a full sort over K per tile
-    mh = min(max_hit, key.shape[1])
-    neg_top, order = jax.lax.top_k(-key, mh)
-    cand_tstart = -neg_top  # [NT, MH], +inf for invalid
-    cand_valid = jnp.isfinite(cand_tstart)
-    cand_gid = tile_b[:, None] * K + order.astype(jnp.int32)
-    cand_gid = jnp.where(cand_valid, cand_gid, 0)
+    cone = (apex, axis, tanmax, dmax, tile_tmin, tile_tmax, dt)
+    # physical primitive culling (reference: models/autoencoder.py:214-228
+    # drops alpha-masked prims to shrink the march)
+    live_nk = prim_mask > 0.5
+
+    if two_stage is None:
+        two_stage = K >= 65536
+    if two_stage:
+        # Two-stage cull — the TPU answer to the reference's LBVH
+        # (reference: extensions/mvpraymarch/bvh.cu:22-201). A dense
+        # [ntiles, K] test materializes O(ntiles*K) temporaries (8+ GB at
+        # 262144 prims); instead test per-tile against G = K/g group
+        # bounding spheres, keep the earliest-reachable cull_max_groups
+        # groups, and run the exact per-prim test only on their members.
+        # Group spheres contain every member sphere, so a group miss
+        # soundly implies a member miss; group truncation is ordered by
+        # the same t_start bound the per-prim top_k uses.
+        table = jnp.asarray(_group_table(K, cull_group_size))  # [G, g]
+        G, g = table.shape
+        mem = primpos[:, table]  # [N, G, g, 3]
+        mem_rad = radii[:, table]  # [N, G, g]
+        mem_live = live_nk[:, table]
+        lo = jnp.min(jnp.where(mem_live[..., None], mem, big), axis=2)
+        hi = jnp.max(jnp.where(mem_live[..., None], mem, -big), axis=2)
+        any_live = jnp.any(mem_live, axis=2)  # [N, G]
+        cg = 0.5 * (lo + hi)
+        rg = jnp.max(
+            jnp.where(
+                mem_live,
+                jnp.linalg.norm(mem - cg[:, :, None], axis=-1) + mem_rad,
+                0.0,
+            ),
+            axis=2,
+        )
+        ghit, gstart = _cone_test(cg[tile_b], rg[tile_b], any_live[tile_b], *cone)
+        gkey = jnp.where(ghit, gstart, jnp.inf)
+        M = min(cull_max_groups, G)
+        gneg, gorder = jax.lax.top_k(-gkey, M)
+        gvalid = jnp.isfinite(gneg)  # [NT, M]
+        cand_local = table[gorder].reshape(ntiles, M * g)  # [NT, M*g]
+        gids = tile_b[:, None] * K + cand_local
+        fp_pos = primpos.reshape(n * K, 3)
+        centers = fp_pos[gids]
+        rads = radii.reshape(n * K)[gids]
+        live_c = live_nk.reshape(n * K)[gids] & jnp.repeat(gvalid, g, axis=1)
+        hit, t_start = _cone_test(centers, rads, live_c, *cone)
+        key = jnp.where(hit, t_start, jnp.inf)
+        mh = min(max_hit, key.shape[1])
+        neg_top, order = jax.lax.top_k(-key, mh)
+        cand_tstart = -neg_top  # [NT, MH], +inf for invalid
+        cand_valid = jnp.isfinite(cand_tstart)
+        cand_gid = jnp.take_along_axis(gids, order, axis=1)
+        cand_gid = jnp.where(cand_valid, cand_gid, 0)
+    else:
+        hit, t_start = _cone_test(primpos[tile_b], radii[tile_b],
+                                  live_nk[tile_b], *cone)
+        key = jnp.where(hit, t_start, jnp.inf)
+        # top_k (earliest-reachable-first) instead of a full sort over K/tile
+        mh = min(max_hit, key.shape[1])
+        neg_top, order = jax.lax.top_k(-key, mh)
+        cand_tstart = -neg_top  # [NT, MH], +inf for invalid
+        cand_valid = jnp.isfinite(cand_tstart)
+        cand_gid = tile_b[:, None] * K + order.astype(jnp.int32)
+        cand_gid = jnp.where(cand_valid, cand_gid, 0)
 
     meta = dict(n=n, h=h, w=w, hp=hp, wp=wp, nty=nty, ntx=ntx, ntiles=ntiles, tsz=tsz)
     return t_o, t_d, t_mm, cand_gid, cand_valid, cand_tstart, meta
@@ -985,6 +1071,9 @@ def _make_raymarch(cfg_key):
             jax.lax.stop_gradient(primpos), jax.lax.stop_gradient(primscale),
             jax.lax.stop_gradient(prim_mask),
             cfg["tile"], cfg["max_hit"], cfg["dt"],
+            cull_group_size=cfg["cull_group_size"],
+            cull_max_groups=cfg["cull_max_groups"],
+            two_stage=cfg["two_stage_cull"],
         )
         mh = cand_gid.shape[1]
         fp_pos = primpos.reshape(n * K, 3)
@@ -1124,7 +1213,8 @@ def mvp_raymarch_pallas(*args, interpret=None, **kwargs):
     jax.jit,
     static_argnames=(
         "stepsize", "fadescale", "fadeexp", "tile", "max_hit", "nbuf",
-        "interpret", "rows",
+        "interpret", "rows", "cull_group_size", "cull_max_groups",
+        "two_stage_cull",
     ),
 )
 def _mvp_raymarch_pallas_jit(
@@ -1145,6 +1235,9 @@ def _mvp_raymarch_pallas_jit(
     nbuf: Optional[int] = None,
     interpret: bool = False,
     rows: int = 4,
+    cull_group_size: int = 256,
+    cull_max_groups: int = 8,
+    two_stage_cull: Optional[bool] = None,
     **_unused,
 ) -> jnp.ndarray:
     bs_check = template.shape[2]
@@ -1175,6 +1268,11 @@ def _mvp_raymarch_pallas_jit(
                 fadeexp=float(fadeexp), tile=int(tile), max_hit=int(max_hit),
                 nbuf=int(nbuf), interpret=bool(interpret), rows=int(rows),
                 dowarp=warp is not None,
+                cull_group_size=int(cull_group_size),
+                cull_max_groups=int(cull_max_groups),
+                two_stage_cull=(
+                    None if two_stage_cull is None else bool(two_stage_cull)
+                ),
             ).items()
         )
     )

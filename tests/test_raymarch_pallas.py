@@ -194,3 +194,57 @@ def test_pallas_warp_field_matches_oracle():
         x, y = np.asarray(x), np.asarray(y)
         dp = float((x * y).sum() / np.sqrt((x * x).sum() * (y * y).sum() + 1e-30))
         assert dp > 0.9999, f"{name}: dp={dp}, maxdiff={np.abs(x - y).max()}"
+
+
+def test_pallas_two_stage_cull_matches_dense():
+    """The group pre-cull (the TPU answer to the reference's LBVH,
+    bvh.cu:22-201) must reproduce the dense cull exactly when no group is
+    truncated: group spheres contain every member sphere, so with all groups
+    kept the surviving candidate set is identical and the (order-independent)
+    composite matches bit-for-bit in forward and gradients."""
+    s = make_scene(N=1, H=17, W=17, k3=4, M=4)  # K=64: perfect-square grid
+    rp, rd, tmm = (jnp.asarray(s[k]) for k in ("raypos", "raydir", "tminmax"))
+    prims = [jnp.asarray(s[k]) for k in ("primpos", "primrot", "primscale", "template")]
+
+    def loss(two_stage, max_groups=4):
+        def f(pp, pr, ps, tpl):
+            return jnp.sum(
+                mvp_raymarch_pallas(
+                    rp, rd, s["stepsize"], tmm, pp, pr, ps, tpl, None,
+                    fadescale=6.5, fadeexp=8.0, interpret=True,
+                    tile=8, max_hit=64, nbuf=64,
+                    two_stage_cull=two_stage, cull_group_size=16,
+                    cull_max_groups=max_groups,
+                )
+            )
+        return f
+
+    dense = loss(False)
+    grouped = loss(True)  # 4 groups of 16, all kept
+    a = float(dense(*prims))
+    b = float(grouped(*prims))
+    assert abs(a - b) / max(abs(a), 1e-6) < 1e-5, (a, b)
+    g_a = jax.grad(dense, argnums=(0, 1, 2, 3))(*prims)
+    g_b = jax.grad(grouped, argnums=(0, 1, 2, 3))(*prims)
+    for name, x, y in zip(("primpos", "primrot", "primscale", "template"), g_a, g_b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-5,
+                                   atol=1e-6, err_msg=name)
+
+    # truncated groups still produce a finite, composited image (fewer
+    # candidates marched — the same contract as a small max_hit)
+    trunc = loss(True, max_groups=2)
+    assert np.isfinite(float(trunc(*prims)))
+
+
+def test_group_table_layouts():
+    from ava256_tpu.ops.raymarch_pallas import _group_table
+
+    t = _group_table(64, 16)  # 8x8 grid, 4x4 blocks
+    assert t.shape == (4, 16)
+    assert sorted(t.reshape(-1).tolist()) == list(range(64))
+    # block members are spatially compact on the 8x8 grid
+    rows, cols = t[0] // 8, t[0] % 8
+    assert rows.max() - rows.min() <= 3 and cols.max() - cols.min() <= 3
+    t2 = _group_table(24, 16)  # non-square: consecutive strips
+    assert t2.shape[0] * t2.shape[1] == 24
+    assert sorted(t2.reshape(-1).tolist()) == list(range(24))
