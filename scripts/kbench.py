@@ -77,7 +77,8 @@ def make_flagship_scene(batch=4, h=512, w=334, nprims=16384, boxsize=8, seed=0):
 
 
 def measure_raymarch(batch=4, h=512, w=334, nprims=16384, steps=3, tile=16,
-                     max_hit=64, seed=0, hbm_gbps=None, rows=4):
+                     max_hit=64, seed=0, hbm_gbps=None, rows=4, boxsize=8,
+                     two_stage=None, cull_max_groups=8, cull_group_size=256):
     """Time the Pallas raymarch fwd/bwd at the given geometry and derive the
     HBM speed-of-light fraction.
 
@@ -92,12 +93,14 @@ def measure_raymarch(batch=4, h=512, w=334, nprims=16384, steps=3, tile=16,
     from ava256_tpu.ops.raymarch_pallas import _tile_and_cull, mvp_raymarch_pallas
 
     hbm_gbps = hbm_gbps or float(os.environ.get("AVA256_HBM_GBPS", 819.0))
-    s = make_flagship_scene(batch, h, w, nprims, seed=seed)
+    s = make_flagship_scene(batch, h, w, nprims, boxsize=boxsize, seed=seed)
     rp, rd, tmm = (jnp.asarray(s[k]) for k in ("raypos", "raydir", "tminmax"))
     pp, pr, ps, tpl = (
         jnp.asarray(s[k]) for k in ("primpos", "primrot", "primscale", "template")
     )
-    kw = dict(fadescale=8.0, fadeexp=8.0, tile=tile, max_hit=max_hit, rows=rows)
+    kw = dict(fadescale=8.0, fadeexp=8.0, tile=tile, max_hit=max_hit, rows=rows,
+              two_stage_cull=two_stage, cull_max_groups=cull_max_groups,
+              cull_group_size=cull_group_size)
 
     def fwd(pp, pr, ps, tpl):
         return mvp_raymarch_pallas(
@@ -124,19 +127,30 @@ def measure_raymarch(batch=4, h=512, w=334, nprims=16384, steps=3, tile=16,
     t_tot = (time.time() - t0) / steps
     t_bwd = t_tot - t_fwd
 
-    # information-theoretic minimum HBM bytes for the forward march
+    # information-theoretic minimum HBM bytes for the forward march; the
+    # cull is also timed alone (sub-linear-in-K check for the two-stage path)
     bs = tpl.shape[2]
-    _, _, t_mm, _, cand_valid, _, meta = _tile_and_cull(
-        rp, rd, tmm, pp, ps, jnp.ones(pp.shape[:2], jnp.float32),
-        tile, max_hit, s["stepsize"]
+    cull = jax.jit(
+        lambda pp, ps: _tile_and_cull(
+            rp, rd, tmm, pp, ps, jnp.ones(pp.shape[:2], jnp.float32),
+            tile, max_hit, s["stepsize"], two_stage=two_stage,
+            cull_max_groups=cull_max_groups, cull_group_size=cull_group_size,
+        )
     )
+    _, _, t_mm, _, cand_valid, _, meta = jax.block_until_ready(cull(pp, ps))
+    t0 = time.time()
+    for _ in range(steps):
+        cres = cull(pp, ps)
+    jax.block_until_ready(cres)
+    t_cull = (time.time() - t0) / steps
     nval = int(jnp.sum(cand_valid))
     box_bytes = nval * bs * bs * bs * 4 * 4
-    ray_bytes = meta["ntiles"] * meta["tsz"] * (3 + 3 + 2 + 4) * 4
+    ray_bytes = int(meta["ntiles"]) * int(meta["tsz"]) * (3 + 3 + 2 + 4) * 4
     sol_s = (box_bytes + ray_bytes) / (hbm_gbps * 1e9)
     nrays = batch * h * w
     return {
         "fwd_s": round(t_fwd, 4),
+        "cull_s": round(t_cull, 4),
         "bwd_s": round(t_bwd, 4),
         "bwd_over_fwd": round(t_bwd / t_fwd, 2),
         "grad_total_s": round(t_tot, 4),
@@ -160,6 +174,10 @@ def main():
     ap.add_argument("--max-hit", type=int, default=64)
     ap.add_argument("--rows", type=int, default=4)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--boxsize", type=int, default=8)
+    ap.add_argument("--two-stage", choices=["auto", "on", "off"], default="auto")
+    ap.add_argument("--cull-max-groups", type=int, default=8)
+    ap.add_argument("--cull-group-size", type=int, default=256)
     args = ap.parse_args()
     h, w = map(int, args.hw.split("x"))
 
@@ -169,6 +187,10 @@ def main():
     rep, (fwd, grad, s, arrays) = measure_raymarch(
         args.batch, h, w, args.nprims, steps=args.steps, tile=args.tile,
         max_hit=args.max_hit, seed=args.seed, rows=args.rows,
+        boxsize=args.boxsize,
+        two_stage={"auto": None, "on": True, "off": False}[args.two_stage],
+        cull_max_groups=args.cull_max_groups,
+        cull_group_size=args.cull_group_size,
     )
     print(json.dumps(rep))
 
