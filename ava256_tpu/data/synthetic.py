@@ -1,10 +1,20 @@
 """Synthetic capture data: deterministic random "subjects" with look-at
-cameras around a head-sized blob mesh.
+cameras around a head-sized blob, rendered analytically so every camera
+sees the SAME scene.
 
-Used by tests, benchmarks, and training smoke runs when no real capture data
-is present (the real ava-256 release is multi-TB). Shapes follow the model
+Used by tests, benchmarks, and training runs when no real capture data is
+present (the real ava-256 release is multi-TB). Shapes follow the model
 card (SURVEY.md §2.4): V vertices, 1024^2 textures by default, dome-like
 cameras ~1.1m from the origin, volradius 256.
+
+Unlike a per-camera pattern, the target images here are a ray-traced
+rendering of a per-identity textured ellipsoid whose axes pulse smoothly
+with the frame index (a 3-dof "expression"), shaded with a fixed Lambert
+light. Geometry supervision (``verts``) lies on the same analytic surface,
+so image and vertex losses are mutually consistent, and a camera held out
+of training still shows the same physical scene — which is what makes a
+held-out-camera eval meaningful (reference eval protocol:
+ddp-train.py:180-263 renders unseen conditions of the same capture).
 """
 
 from __future__ import annotations
@@ -12,6 +22,9 @@ from __future__ import annotations
 from typing import Any, Dict, List, Optional
 
 import numpy as np
+
+BASE_AXES = np.array([90.0, 120.0, 100.0], np.float32)
+LIGHT = np.array([0.40824829, 0.40824829, 0.81649658], np.float32)  # normalized
 
 
 def _lookat_camera(rng: np.ndarray, radius: float) -> Dict[str, np.ndarray]:
@@ -32,8 +45,21 @@ def _lookat_camera(rng: np.ndarray, radius: float) -> Dict[str, np.ndarray]:
     return {"campos": pos, "camrot": rot}
 
 
+def _smooth_texture(rng: np.ndarray, texsize: int, ncoarse: int = 12) -> np.ndarray:
+    """[texsize, texsize, 3] in [0.15, 0.85]: bilinear-upsampled coarse noise
+    (low-frequency, so reconstruction is learnable rather than memorizing
+    per-texel noise)."""
+    coarse = rng.rand(ncoarse, ncoarse, 3).astype(np.float32)
+    t = np.linspace(0.0, ncoarse - 1.0, texsize, dtype=np.float32)
+    i0 = np.clip(np.floor(t).astype(np.int64), 0, ncoarse - 2)
+    f = (t - i0)[:, None]
+    rows = coarse[i0] * (1 - f[..., None]) + coarse[i0 + 1] * f[..., None]
+    cols = rows[:, i0] * (1 - f[None, :, 0, None]) + rows[:, i0 + 1] * f[None, :, 0, None]
+    return 0.15 + 0.7 * cols
+
+
 class SyntheticDataset:
-    """Deterministic synthetic multi-identity dataset."""
+    """Deterministic synthetic multi-identity dataset (multi-view-consistent)."""
 
     def __init__(
         self,
@@ -56,34 +82,104 @@ class SyntheticDataset:
 
         rng = np.random.RandomState(seed)
         if base_verts is None:
-            # A head-sized ellipsoid point cloud (world units; volradius=256)
+            # Unit directions -> head-sized ellipsoid (world units; volradius=256)
             pts = rng.randn(nverts, 3).astype(np.float32)
             pts /= np.linalg.norm(pts, axis=1, keepdims=True)
-            base_verts = pts * np.array([90.0, 120.0, 100.0], np.float32)
+            base_verts = pts * BASE_AXES
         self.base_verts = base_verts.astype(np.float32)
         self.nverts = self.base_verts.shape[0]
+        self._dirs = self.base_verts / np.maximum(
+            np.linalg.norm(self.base_verts / BASE_AXES, axis=1, keepdims=True), 1e-8
+        ) / BASE_AXES  # unit-sphere directions consistent with base_verts
 
         self.cameras = [_lookat_camera(rng, radius=1100.0) for _ in range(ncams)]
         self.identities = list(range(nident))
 
-        # Per-identity neutral offsets and textures
-        self.id_offsets = [
-            rng.randn(self.nverts, 3).astype(np.float32) * 2.0 for _ in range(nident)
+        # Per-identity axis scales (the identity's "shape") and textures
+        self.id_axes = [
+            BASE_AXES * (1.0 + 0.12 * rng.randn(3).astype(np.float32))
+            for _ in range(nident)
         ]
-        self.id_textures = [
-            rng.rand(texsize, texsize, 3).astype(np.float32) for _ in range(nident)
-        ]
+        self.id_phases = [rng.uniform(0, 2 * np.pi) for _ in range(nident)]
+        self.id_textures = [_smooth_texture(rng, texsize) for _ in range(nident)]
+
+        # Long-lens look-at framing: the head fills most of the image like
+        # the real capture rig's crops.
+        self._focal = float(width) * 5.0
 
         self.vertmean = self.base_verts
         self.vertstd = 10.0
         self.texmean = np.full((texsize, texsize, 3), 0.5, np.float32)
         self.texstd = 0.25
 
+    # ---- analytic scene ----
+
+    def _frame_axes(self, ident: int, frame: int) -> np.ndarray:
+        """Ellipsoid axes for (identity, frame): a smooth 3-dof pulsation —
+        the synthetic 'expression'."""
+        ph = self.id_phases[ident] + 2.0 * np.pi * frame / max(self.nframes, 1)
+        mod = 1.0 + 0.06 * np.sin(ph + np.array([0.0, 2.094395, 4.18879], np.float32))
+        return (self.id_axes[ident] * mod).astype(np.float32)
+
+    def _verts(self, ident: int, frame: Optional[int]) -> np.ndarray:
+        axes = (
+            np.asarray(self.id_axes[ident])
+            if frame is None
+            else self._frame_axes(ident, frame)
+        )
+        return (self._dirs * axes).astype(np.float32)
+
+    def _render(self, ident: int, cam: int, frame: int) -> np.ndarray:
+        """Ray-trace the identity's deformed ellipsoid from camera ``cam``:
+        [H, W, 3] float32 in roughly [0, 255]."""
+        axes = self._frame_axes(ident, frame)
+        c = self.cameras[cam]
+        fx = fy = self._focal
+        px, py = self.width / 2.0, self.height / 2.0
+        u, v = np.meshgrid(
+            np.arange(self.width, dtype=np.float32),
+            np.arange(self.height, dtype=np.float32),
+        )
+        d_cam = np.stack(
+            [(u - px) / fx, (v - py) / fy, np.ones_like(u)], axis=-1
+        )  # [H, W, 3]
+        d = d_cam @ c["camrot"]  # camrot rows are camera axes: R^T d_cam
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        o = c["campos"]
+
+        # Ray-ellipsoid: ||(o + t d) / axes||^2 = 1
+        os_, ds_ = o / axes, d / axes
+        a = np.sum(ds_ * ds_, axis=-1)
+        b = 2.0 * np.sum(ds_ * os_, axis=-1)
+        cc = float(np.sum(os_ * os_)) - 1.0
+        disc = b * b - 4.0 * a * cc
+        hit = disc > 0.0
+        t = (-b - np.sqrt(np.maximum(disc, 0.0))) / (2.0 * a)
+        hit &= t > 0.0
+        p = o + t[..., None] * d  # [H, W, 3] hit points
+        n = p / (axes * axes)
+        n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-8)
+        shade = 0.35 + 0.65 * np.maximum(n @ LIGHT, 0.0)
+
+        # Texture by spherical coordinates of the (undeformed) direction
+        dirs = p / axes
+        tu = (np.arctan2(dirs[..., 0], dirs[..., 2]) / (2 * np.pi) + 0.5) * (
+            self.texsize - 1
+        )
+        tv = (np.clip(dirs[..., 1], -1.0, 1.0) * 0.5 + 0.5) * (self.texsize - 1)
+        tex = self.id_textures[ident][
+            tv.astype(np.int64), tu.astype(np.int64)
+        ]  # [H, W, 3]
+        img = 255.0 * tex * shade[..., None]
+        return np.where(hit[..., None], img, 0.0).astype(np.float32)
+
+    # ---- dataset interface ----
+
     def get_allcameras(self) -> List[int]:
         return list(range(self.ncams))
 
     def get_neutral_conditioning(self, ident: int) -> Dict[str, np.ndarray]:
-        neut_verts = self.base_verts + self.id_offsets[ident]
+        neut_verts = self._verts(ident, frame=None)
         return {
             "neut_avgtex": (self.id_textures[ident] - self.texmean) / self.texstd,
             "neut_verts": (neut_verts - self.vertmean) / self.vertstd,
@@ -103,26 +199,22 @@ class SyntheticDataset:
         ident = idx % self.nident
         cam = (idx // self.nident) % self.ncams
         frame = idx // (self.nident * self.ncams)
-        rng = np.random.RandomState(self.seed + 1 + idx)
 
-        focal = np.full((2,), self.width * 2.0, np.float32)
+        focal = np.full((2,), self._focal, np.float32)
         princpt = np.array([self.width / 2, self.height / 2], np.float32)
 
-        neut_verts = self.base_verts + self.id_offsets[ident]
-        verts = neut_verts + rng.randn(*neut_verts.shape).astype(np.float32) * 1.0
+        neut_verts = self._verts(ident, frame=None)
+        verts = self._verts(ident, frame)
         neut_avgtex = self.id_textures[ident]
-        avgtex = np.clip(
-            neut_avgtex + rng.randn(*neut_avgtex.shape).astype(np.float32) * 0.01, 0, 1
-        )
+        # The per-frame average texture: shading-free identity texture (the
+        # real capture's tracked-mesh unwrap also removes most view effects).
+        avgtex = neut_avgtex
 
         px, py = np.meshgrid(
             np.arange(self.width, dtype=np.float32),
             np.arange(self.height, dtype=np.float32),
         )
-        image = np.zeros((self.height, self.width, 3), np.float32)
-        image[..., 0] = 100 + 50 * np.sin(px / 17 + ident)
-        image[..., 1] = 100 + 50 * np.cos(py / 13 + cam)
-        image[..., 2] = 100 + 40 * np.sin((px + py) / 23 + frame)
+        image = self._render(ident, cam, frame)
 
         return dict(
             camrot=self.cameras[cam]["camrot"],
@@ -131,9 +223,9 @@ class SyntheticDataset:
             princpt=princpt,
             modelmatrix=np.eye(4, dtype=np.float32),
             avgtex=(avgtex - self.texmean) / self.texstd,
-            verts=(verts - self.vertmean) / self.vertstd,
+            verts=((verts - self.vertmean) / self.vertstd).astype(np.float32),
             neut_avgtex=(neut_avgtex - self.texmean) / self.texstd,
-            neut_verts=(neut_verts - self.vertmean) / self.vertstd,
+            neut_verts=((neut_verts - self.vertmean) / self.vertstd).astype(np.float32),
             pixelcoords=np.stack([px, py], axis=-1),
             idindex=np.int32(ident),
             camindex=np.int32(cam),

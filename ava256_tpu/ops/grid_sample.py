@@ -30,6 +30,7 @@ def grid_sample_2d(
     img: jnp.ndarray,
     grid: jnp.ndarray,
     align_corners: bool = False,
+    packed: bool = None,
 ) -> jnp.ndarray:
     """Bilinear grid sample with zero padding.
 
@@ -37,6 +38,14 @@ def grid_sample_2d(
         img: [N, H, W, C]
         grid: [N, Ho, Wo, 2] with (x, y) in [-1, 1]; x indexes W, y indexes H.
         align_corners: coordinate convention (see module docstring).
+        packed: pack the 2x2 neighborhood into channels so the sample is ONE
+            gather (and its transpose ONE scatter-add) instead of four. TPU
+            gathers/scatters are row-serialized, so 4x fewer rows is ~4x
+            faster backward; the cost is a transient 4C-wide neighbor image.
+            Default (None) enables packing when the output has at least as
+            many pixels as a quarter of the input (dense resampling); the
+            sparse case (e.g. per-vertex sampling of a large map) keeps the
+            4-gather form, which never materializes the 4x image.
 
     Returns:
         [N, Ho, Wo, C]
@@ -47,13 +56,50 @@ def grid_sample_2d(
 
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
-    x1 = x0 + 1.0
-    y1 = y0 + 1.0
 
     wx1 = x - x0
     wy1 = y - y0
     wx0 = 1.0 - wx1
     wy0 = 1.0 - wy1
+
+    if packed is None:
+        ho_wo = int(grid.shape[1]) * int(grid.shape[2])
+        packed = 4 * ho_wo >= h * w
+
+    if packed:
+        # Zero-pad one pixel on every side and pack each pixel's 2x2
+        # neighborhood into channels: a corner that falls in the padding
+        # reads an exact zero, which IS the zeros padding-mode semantics, so
+        # no per-corner masks are needed. Only samples more than one pixel
+        # outside the image need the single all-corners-invalid mask.
+        ipad = jnp.pad(img, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        nb = jnp.concatenate(
+            [ipad[:, :-1, :-1], ipad[:, :-1, 1:],
+             ipad[:, 1:, :-1], ipad[:, 1:, 1:]],
+            axis=-1,
+        )  # [n, h+1, w+1, 4c]; (yi, xi) holds corners (yi-1+{0,1}, xi-1+{0,1})
+        inr = (
+            (x0 >= -1.0) & (x0 <= w - 1.0) & (y0 >= -1.0) & (y0 <= h - 1.0)
+        )
+        xi = jnp.clip(x0 + 1.0, 0, w).astype(jnp.int32)
+        yi = jnp.clip(y0 + 1.0, 0, h).astype(jnp.int32)
+        flat_idx = yi * (w + 1) + xi  # [N, Ho, Wo]
+        vals = jnp.take_along_axis(
+            nb.reshape(n, (h + 1) * (w + 1), 4 * c),
+            flat_idx.reshape(n, -1, 1),
+            axis=1,
+        ).reshape(flat_idx.shape + (4 * c,))
+        v00 = vals[..., 0 * c : 1 * c]
+        v01 = vals[..., 1 * c : 2 * c]
+        v10 = vals[..., 2 * c : 3 * c]
+        v11 = vals[..., 3 * c : 4 * c]
+        out = (
+            v00 * (wx0 * wy0)[..., None]
+            + v01 * (wx1 * wy0)[..., None]
+            + v10 * (wx0 * wy1)[..., None]
+            + v11 * (wx1 * wy1)[..., None]
+        )
+        return out * inr.astype(out.dtype)[..., None]
 
     def corner(xi: jnp.ndarray, yi: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         mask = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
@@ -67,9 +113,9 @@ def grid_sample_2d(
         return vals, mask.astype(img.dtype)[..., None]
 
     v00, m00 = corner(x0, y0)
-    v01, m01 = corner(x1, y0)
-    v10, m10 = corner(x0, y1)
-    v11, m11 = corner(x1, y1)
+    v01, m01 = corner(x0 + 1.0, y0)
+    v10, m10 = corner(x0, y0 + 1.0)
+    v11, m11 = corner(x0 + 1.0, y0 + 1.0)
 
     out = (
         v00 * m00 * (wx0 * wy0)[..., None]

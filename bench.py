@@ -73,11 +73,16 @@ def main() -> None:
     state, loss, _ = train_step(state, mb, rng)
     jax.block_until_ready(loss)
 
+    # Block every step, exactly like the real training loop (train.py logs
+    # the loss each iteration, as the reference's ddp-train.py does). On the
+    # tunneled-TPU platform, enqueueing several donated steps ahead of the
+    # device also triggers a dispatch pathology that triples the apparent
+    # step time; per-step blocking measures the actual executable time.
     t0 = time.time()
     for i in range(steps):
         rng, sub = jax.random.split(rng)
         state, loss, _ = train_step(state, mb, sub)
-    jax.block_until_ready(loss)
+        jax.block_until_ready(loss)
     dt = (time.time() - t0) / steps
     assert np.isfinite(float(loss)), f"non-finite loss {loss}"
 

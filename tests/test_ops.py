@@ -92,13 +92,15 @@ def test_conv_transpose_blockwise_init():
     np.testing.assert_array_equal(w[0::2, 0::2], w[1::2, 1::2])
 
 
+@pytest.mark.parametrize("packed", [False, True])
 @pytest.mark.parametrize("align_corners", [False, True])
-def test_grid_sample_2d_matches_torch(align_corners):
+def test_grid_sample_2d_matches_torch(align_corners, packed):
     rng = np.random.RandomState(0)
     img = rng.randn(2, 9, 11, 3).astype(np.float32)
     grid = (rng.rand(2, 5, 7, 2).astype(np.float32) * 2.4) - 1.2  # incl. OOB
     out = np.asarray(
-        grid_sample_2d(jnp.asarray(img), jnp.asarray(grid), align_corners=align_corners)
+        grid_sample_2d(jnp.asarray(img), jnp.asarray(grid),
+                       align_corners=align_corners, packed=packed)
     )
     t = F.grid_sample(
         torch.from_numpy(np.transpose(img, (0, 3, 1, 2)).copy()),

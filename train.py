@@ -70,7 +70,8 @@ def _build_base_dataset(cfg):
             base_verts = np.fromfile(mesh_bin, dtype=np.float32).reshape(-1, 3)
         return SyntheticDataset(
             nident=cfg.train.nids,
-            ncams=4,
+            ncams=int(cfg.data.get("synthetic_cams", 4)),
+            nframes=int(cfg.data.get("synthetic_frames", 8)),
             height=cfg.data.synthetic_height,
             width=cfg.data.synthetic_width,
             texsize=cfg.data.synthetic_texsize,
