@@ -112,6 +112,23 @@ class SyntheticDataset:
         self.texmean = np.full((texsize, texsize, 3), 0.5, np.float32)
         self.texstd = 0.25
 
+        # Normalized per-identity conditioning is identical for every item of
+        # an identity: precompute once (the 1024^2 normalizations otherwise
+        # dominate per-item fetch cost ~10x over the actual render).
+        self._norm_tex = [
+            ((t - 0.5) / self.texstd).astype(np.float32) for t in self.id_textures
+        ]
+        self._norm_neut_verts = [
+            ((self._verts(i, frame=None) - self.vertmean) / self.vertstd).astype(
+                np.float32
+            )
+            for i in range(nident)
+        ]
+        px, py = np.meshgrid(
+            np.arange(width, dtype=np.float32), np.arange(height, dtype=np.float32)
+        )
+        self._pixelcoords = np.stack([px, py], axis=-1)
+
     # ---- analytic scene ----
 
     def _frame_axes(self, ident: int, frame: int) -> np.ndarray:
@@ -179,10 +196,9 @@ class SyntheticDataset:
         return list(range(self.ncams))
 
     def get_neutral_conditioning(self, ident: int) -> Dict[str, np.ndarray]:
-        neut_verts = self._verts(ident, frame=None)
         return {
-            "neut_avgtex": (self.id_textures[ident] - self.texmean) / self.texstd,
-            "neut_verts": (neut_verts - self.vertmean) / self.vertstd,
+            "neut_avgtex": self._norm_tex[ident],
+            "neut_verts": self._norm_neut_verts[ident],
         }
 
     def get_img_size(self):
@@ -203,30 +219,23 @@ class SyntheticDataset:
         focal = np.full((2,), self._focal, np.float32)
         princpt = np.array([self.width / 2, self.height / 2], np.float32)
 
-        neut_verts = self._verts(ident, frame=None)
         verts = self._verts(ident, frame)
-        neut_avgtex = self.id_textures[ident]
-        # The per-frame average texture: shading-free identity texture (the
-        # real capture's tracked-mesh unwrap also removes most view effects).
-        avgtex = neut_avgtex
-
-        px, py = np.meshgrid(
-            np.arange(self.width, dtype=np.float32),
-            np.arange(self.height, dtype=np.float32),
-        )
         image = self._render(ident, cam, frame)
 
+        # The per-frame average texture is the shading-free identity texture
+        # (the real capture's tracked-mesh unwrap also removes most view
+        # effects), so avgtex == neut_avgtex here — both precomputed views.
         return dict(
             camrot=self.cameras[cam]["camrot"],
             campos=self.cameras[cam]["campos"],
             focal=focal,
             princpt=princpt,
             modelmatrix=np.eye(4, dtype=np.float32),
-            avgtex=(avgtex - self.texmean) / self.texstd,
+            avgtex=self._norm_tex[ident],
             verts=((verts - self.vertmean) / self.vertstd).astype(np.float32),
-            neut_avgtex=(neut_avgtex - self.texmean) / self.texstd,
-            neut_verts=((neut_verts - self.vertmean) / self.vertstd).astype(np.float32),
-            pixelcoords=np.stack([px, py], axis=-1),
+            neut_avgtex=self._norm_tex[ident],
+            neut_verts=self._norm_neut_verts[ident],
+            pixelcoords=self._pixelcoords,
             idindex=np.int32(ident),
             camindex=np.int32(cam),
             image=image,

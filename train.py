@@ -264,7 +264,10 @@ def main():
                         _xid_render(model, state, mb, neutral_conds, cfg, outpath, iternum)
 
             # ---- checkpoints ----
-            cadence = 2_000 if iternum < 10_000 else 20_000
+            cadence = int(
+                cfg.train.get("checkpoint_every", 0)
+                or (2_000 if iternum < 10_000 else 20_000)
+            )
             if iternum % cadence == 0 and host_id == 0 and iternum > 0:
                 save_checkpoint(ckpt_dir, state)
                 logger.info("Saved checkpoint at step %d", iternum)
