@@ -343,6 +343,21 @@ class MultiCaptureDataset:
             ),
         }
 
+    def conditioning_tables(self) -> Dict[str, Dict[str, np.ndarray]]:
+        """Device-cacheable per-identity neutral conditioning (see
+        data/cond_cache.py). Only the neutral fields are static on real
+        captures — avgtex/verts/cameras vary per frame and per capture —
+        so the big win is the two 1024^2 textures per batch element.
+        At 256 identities the table is ~3.2 GB fp32; callers on smaller
+        HBM budgets can disable the cache (train.device_cond_cache)."""
+        conds = [self.get_neutral_conditioning(i) for i in range(len(self.captures))]
+        return {
+            "id": {
+                "neut_avgtex": np.stack([c["neut_avgtex"] for c in conds]),
+                "neut_verts": np.stack([c["neut_verts"] for c in conds]),
+            }
+        }
+
     def __getitem__(self, idx: int) -> Optional[Dict[str, Any]]:
         if idx < 0:
             if -idx > len(self):

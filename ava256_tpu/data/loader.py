@@ -34,6 +34,38 @@ def _pool_fetch(batch_indices):
     return none_collate([_WORKER_DATASET[int(j)] for j in batch_indices])
 
 
+def device_prefetch(iterable, fn: Callable, depth: int = 2):
+    """Map ``fn`` (typically host->device upload + sharding) over ``iterable``
+    in a background thread so the transfer of batch i+1 overlaps the
+    consumer's compute on batch i. ``None`` items (failed collates) are
+    skipped. JAX dispatch is thread-safe; ``device_put`` from the feeder
+    thread returns immediately and the arrays materialize asynchronously,
+    so the consumer's step never waits on the wire."""
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+    end = object()
+    errs = []
+
+    def feed():
+        try:
+            for item in iterable:
+                if item is None:
+                    continue
+                q.put(fn(item))
+        except BaseException as e:  # surface loader errors in the consumer
+            errs.append(e)
+        finally:
+            q.put(end)
+
+    threading.Thread(target=feed, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is end:
+            if errs:
+                raise errs[0]
+            return
+        yield item
+
+
 class ShardedLoader:
     def __init__(
         self,

@@ -37,7 +37,12 @@ def make_train_step(
     output_set: FrozenSet[str] = frozenset({"primscale"}),
 ) -> Callable:
     """Returns train_step(state, batch, rng, *, running_avg_scale,
-    use_gt_geo, residuals_weight) -> (state, total_loss, loss_terms)."""
+    use_gt_geo, residuals_weight, cond) -> (state, total_loss, loss_terms).
+
+    ``cond`` is an optional device-resident conditioning-table pytree
+    (data/cond_cache.py): lean batches are re-expanded by on-device gathers
+    inside the jitted step, keeping the big constant conditioning arrays out
+    of the per-step host->device path."""
 
     vertmean = jnp.asarray(vertmean)
 
@@ -50,8 +55,14 @@ def make_train_step(
         running_avg_scale: bool = False,
         use_gt_geo: bool = False,
         residuals_weight: float = 1.0,
+        cond=None,
     ) -> Tuple[TrainState, jnp.ndarray, Dict[str, jnp.ndarray]]:
+        from ava256_tpu.data.cond_cache import expand_batch
+
+        full_batch = expand_batch(batch, cond)
+
         def loss_fn(params):
+            batch = full_batch
             kwargs = {k: batch[k] for k in BATCH_MODEL_KEYS}
             out, mutated = model.apply(
                 {"params": params, "stats": state.stats},

@@ -159,8 +159,37 @@ def main():
         dtype=jnp.bfloat16 if cfg.model.get("dtype") == "bfloat16" else None,
     )
 
+    # Device-resident conditioning tables: upload the per-identity /
+    # per-camera constant fields once and gather them by index inside the
+    # jitted step; the loader then only ships the per-frame payload
+    # (see ava256_tpu/data/cond_cache.py).
+    cond_tables_np = None
+    cond = None
+    loader_dataset = dataset
+    if cfg.train.get("device_cond_cache", True) and hasattr(
+        dataset, "conditioning_tables"
+    ):
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from ava256_tpu.data.cond_cache import (
+            LeanView,
+            cached_field_names,
+            table_nbytes,
+        )
+
+        cond_tables_np = dataset.conditioning_tables()
+        cond = jax.device_put(
+            cond_tables_np, NamedSharding(mesh, PartitionSpec())
+        )
+        loader_dataset = LeanView(dataset, cached_field_names(cond_tables_np))
+        logger.info(
+            "Conditioning tables on device: %.1f MB (%s), lean loader batches",
+            table_nbytes(cond_tables_np) / 2**20,
+            ", ".join(sorted(cached_field_names(cond_tables_np))),
+        )
+
     loader = ShardedLoader(
-        dataset,
+        loader_dataset,
         batch_size=cfg.train.batchsize,
         shuffle=True,
         num_workers=cfg.train.num_workers,
@@ -230,15 +259,18 @@ def main():
     profile_at = cfg.progress.get("profile_at", -1)  # step to capture a trace
     profile_dir = str(outpath / "profile")
 
+    from ava256_tpu.data.loader import device_prefetch
+
+    def _to_device(batch):
+        return shard_batch(to_model_batch(batch), mesh)
+
+    iter_end = time.time()
     for epoch in range(cfg.train.num_epochs):
         if done:
             break
-        for batch in loader:
-            if batch is None:
-                continue
-            iter_start = time.time()
-            mb = to_model_batch(batch)
-            mb = shard_batch(mb, mesh)
+        # Background thread uploads batch i+1 while batch i computes.
+        for mb in device_prefetch(loader, _to_device):
+            iter_start = iter_end
 
             in_warmup = iternum < warmup
             # step rng is a pure function of the step index so a resumed run
@@ -253,15 +285,22 @@ def main():
                         running_avg_scale=in_warmup,
                         use_gt_geo=in_warmup,
                         residuals_weight=0.0 if in_warmup else 1.0,
+                        cond=cond,
                     )
                     loss = jax.block_until_ready(loss)
 
             # ---- progress renders ----
             if (iternum < 10_000 and iternum % 100 == 0) or iternum % 1000 == 0:
                 if host_id == 0:
-                    _progress_render(model, state, mb, outpath, iternum)
+                    if cond_tables_np is not None:
+                        from ava256_tpu.data.cond_cache import expand_batch_host
+
+                        vis_mb = expand_batch_host(mb, cond_tables_np)
+                    else:
+                        vis_mb = mb
+                    _progress_render(model, state, vis_mb, outpath, iternum)
                     if cfg.progress.cross_id and len(neutral_conds) > 1:
-                        _xid_render(model, state, mb, neutral_conds, cfg, outpath, iternum)
+                        _xid_render(model, state, vis_mb, neutral_conds, cfg, outpath, iternum)
 
             # ---- checkpoints ----
             cadence = int(
@@ -273,12 +312,13 @@ def main():
                 logger.info("Saved checkpoint at step %d", iternum)
 
             loss = float(loss)
+            iter_end = time.time()
             logger.info(
                 "Iteration %d loss = %.4f, %s time: %.3f s",
                 iternum,
                 loss,
                 ", ".join(f"{k} = {float(v):.4f}" for k, v in terms.items()),
-                time.time() - iter_start,
+                iter_end - iter_start,
             )
             if tb is not None and iternum % cfg.progress.tensorboard.log_freq == 0:
                 tb.add_scalar("Total Loss", loss, iternum)
