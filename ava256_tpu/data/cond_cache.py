@@ -131,6 +131,13 @@ class LeanView:
         self.drop_fields = set(drop_fields)
 
     def __getattr__(self, name):
+        # Never forward dunder lookups, and bail before __dict__ is
+        # populated: pickle probes __setstate__/__reduce_ex__ on a bare
+        # instance during unpickling, and unconditional forwarding would
+        # recurse on self.dataset forever (breaking the spawn process pool,
+        # which pickles the dataset via Pool initargs).
+        if name.startswith("__") or "dataset" not in self.__dict__:
+            raise AttributeError(name)
         return getattr(self.dataset, name)
 
     def __len__(self) -> int:

@@ -432,6 +432,10 @@ class CameraSplit:
             )
 
     def __getattr__(self, name):
+        # Guard dunders / pre-__dict__ lookups so the split pickles cleanly
+        # (see LeanView.__getattr__ in data/cond_cache.py).
+        if name.startswith("__") or "dataset" not in self.__dict__:
+            raise AttributeError(name)
         return getattr(self.dataset, name)
 
     def __getitem__(self, idx: int):

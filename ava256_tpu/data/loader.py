@@ -44,26 +44,49 @@ def device_prefetch(iterable, fn: Callable, depth: int = 2):
     q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
     end = object()
     errs = []
+    closed = threading.Event()
+
+    def put(item) -> bool:
+        # Bounded put that gives up if the consumer abandoned the generator
+        # (train loop breaking at maxiter) — otherwise the feeder would pin
+        # depth+1 uploaded device batches for process lifetime.
+        while not closed.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def feed():
         try:
             for item in iterable:
                 if item is None:
                     continue
-                q.put(fn(item))
+                if not put(fn(item)):
+                    return
         except BaseException as e:  # surface loader errors in the consumer
             errs.append(e)
         finally:
-            q.put(end)
+            put(end)
 
     threading.Thread(target=feed, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is end:
-            if errs:
-                raise errs[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is end:
+                if errs:
+                    raise errs[0]
+                return
+            yield item
+    finally:
+        closed.set()
+        # Drop any queued device batches so their buffers free promptly.
+        while True:
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
 
 
 class ShardedLoader:

@@ -163,7 +163,11 @@ class GeometryDecoder(nn.Module):
             )
         )
         coords = jnp.broadcast_to(coords[None], (n,) + coords.shape)
-        geo = grid_sample_2d(geo_map, coords, align_corners=False)  # [N, nvtx, 1, 3]
+        # packed=False: sparse per-vertex sampling — the 4-gather form never
+        # materializes the 4x neighbor image (see ops/grid_sample.py).
+        geo = grid_sample_2d(
+            geo_map, coords, align_corners=False, packed=False
+        )  # [N, nvtx, 1, 3]
         geo = jnp.mean(geo, axis=2)
 
         # Slab -> [N, K, bs, bs, bs, 1] boxes: depth from channels, box rows/

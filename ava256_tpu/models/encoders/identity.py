@@ -171,7 +171,7 @@ class IdentityEncoder(nn.Module):
                 axis=-1,
             )[None]
             grid = resize_bilinear(warp, (h, w))
-            out = grid_sample_2d(packed, grid, align_corners=False)[0]
+            out = grid_sample_2d(packed, grid, align_corners=False, packed=True)[0]
             geo_out = out[..., : n * cg].reshape(h, w, n, cg).transpose(2, 0, 1, 3)
             tex_out = out[..., n * cg :].reshape(h, w, n, ct).transpose(2, 0, 1, 3)
             return geo_out, tex_out

@@ -14,7 +14,7 @@ lowers them to efficient dynamic-gathers.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,7 +30,7 @@ def grid_sample_2d(
     img: jnp.ndarray,
     grid: jnp.ndarray,
     align_corners: bool = False,
-    packed: bool = None,
+    packed: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Bilinear grid sample with zero padding.
 
@@ -65,6 +65,12 @@ def grid_sample_2d(
     if packed is None:
         ho_wo = int(grid.shape[1]) * int(grid.shape[2])
         packed = 4 * ho_wo >= h * w
+        # The packed path materializes a [n, h+1, w+1, 4c] neighbor image —
+        # once in forward and again when recomputed under jax.checkpoint.
+        # Cap the transient so wide batch/channel configs fall back to the
+        # 4-gather form instead of OOMing HBM.
+        nb_bytes = 4 * n * (h + 1) * (w + 1) * 4 * c
+        packed = packed and nb_bytes <= 512 * 1024 * 1024
 
     if packed:
         # Zero-pad one pixel on every side and pack each pixel's 2x2

@@ -129,3 +129,40 @@ def test_device_prefetch_order_and_none_skip():
     next(gen)
     with pytest.raises(RuntimeError, match="loader failed"):
         list(gen)
+
+
+def test_lean_view_and_camera_split_pickle():
+    """LeanView / CameraSplit must survive pickling (spawn process pools
+    pickle the dataset via Pool initargs); unconditional __getattr__
+    forwarding used to recurse on unpickle (ADVICE r3, medium)."""
+    import pickle
+
+    from ava256_tpu.data.dataset import CameraSplit
+
+    ds = _dataset()
+    names = cached_field_names(ds.conditioning_tables())
+    lean = pickle.loads(pickle.dumps(LeanView(ds, names)))
+    assert len(lean) == len(ds)
+    assert not (names & set(lean[0]))
+
+    split = pickle.loads(pickle.dumps(CameraSplit(ds, [0], heldout=False)))
+    assert len(split) > 0 and split[0] is not None
+
+
+def test_device_prefetch_abandoned_consumer_unblocks_feeder():
+    """Breaking out of the generator (train.py at maxiter) must release the
+    feeder thread instead of leaving it blocked in q.put() forever."""
+    import threading
+    import time
+
+    from ava256_tpu.data.loader import device_prefetch
+
+    n_alive_before = threading.active_count()
+    items = [{"x": np.full((2,), i)} for i in range(64)]
+    gen = device_prefetch(iter(items), lambda b: b["x"], depth=2)
+    next(gen)
+    gen.close()
+    deadline = time.time() + 5.0
+    while threading.active_count() > n_alive_before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= n_alive_before

@@ -303,11 +303,12 @@ def main():
                         _xid_render(model, state, vis_mb, neutral_conds, cfg, outpath, iternum)
 
             # ---- checkpoints ----
-            cadence = int(
-                cfg.train.get("checkpoint_every", 0)
-                or (2_000 if iternum < 10_000 else 20_000)
-            )
-            if iternum % cadence == 0 and host_id == 0 and iternum > 0:
+            # checkpoint_every: unset -> reference cadence (2k under 10k
+            # iters, then 20k — reference ddp-train.py:468-471); 0 or
+            # negative -> mid-run checkpoints disabled.
+            ce = cfg.train.get("checkpoint_every")
+            cadence = (2_000 if iternum < 10_000 else 20_000) if ce is None else int(ce)
+            if cadence > 0 and iternum % cadence == 0 and host_id == 0 and iternum > 0:
                 save_checkpoint(ckpt_dir, state)
                 logger.info("Saved checkpoint at step %d", iternum)
 
