@@ -194,4 +194,22 @@ class Autoencoder(nn.Module):
             "samplecoords": samplecoords if "samplecoords" in output_set else None,
             "bg": bg if "bg" in output_set else None,
             "ialpha": rayalpha if "ialpha" in output_set else None,
+            # Exact kernel operands of the march this forward performed, so
+            # benchmarks can time the raymarch on the very scene the step
+            # renders (not a synthetic stand-in).
+            "march_inputs": (
+                {
+                    "raypos": raypos,
+                    "raydir": raydir,
+                    "tminmax": tminmax,
+                    "stepsize": self.raymarcher.dt,
+                    "primpos": decout["primpos"],
+                    "primrot": decout["primrot"],
+                    "primscale": decout["primscale"],
+                    "template": decout["template"],
+                    "warp": decout.get("warp"),
+                }
+                if "march_inputs" in output_set
+                else None
+            ),
         }

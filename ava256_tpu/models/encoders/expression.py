@@ -60,12 +60,14 @@ class ExpressionEncoder(nn.Module):
             [_conv(16 * C), _conv(32 * C), _conv(64 * C)],
             final_activation=True,
             dtype=self.dtype,
+            s2d_max_ch=64,
             name="tex",
         )(tex_img)
         geo = ConvSeqR(
             [_conv(16 * C), _conv(32 * C), _conv(32 * C)],
             final_activation=True,
             dtype=self.dtype,
+            s2d_max_ch=64,
             name="geo",
         )(geo_img)
 

@@ -40,6 +40,11 @@ class UnetEncoder(nn.Module):
 
     channel_mult: int = 1
     dtype: Optional[Any] = None
+    # Downsampling convs whose input has fewer channels than this run as one
+    # space-to-depth im2col matmul (exact; see ops/layers._conv_s2d_4x4s2) —
+    # the lane-starved 1024^2 x (3..32)-channel levels are the dominant
+    # non-march cost of the training step.
+    s2d_max_ch: int = 64
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
@@ -72,6 +77,7 @@ class UnetEncoder(nn.Module):
                 padding=1,
                 gain=LEAKY_GAIN,
                 dtype=self.dtype,
+                s2d=x.shape[-1] < self.s2d_max_ch,
                 name=f"e{i}",
             )(x)
             x = leaky_relu(x)

@@ -94,8 +94,51 @@ class LinearWN(nn.Module):
         return y
 
 
+def _conv_s2d_4x4s2(x: jnp.ndarray, w_eff: jnp.ndarray) -> jnp.ndarray:
+    """4x4 / stride-2 / pad-1 conv as ONE space-to-depth im2col matmul.
+
+    The TPU conv lowering accumulates one [pixels, C_in] x [C_in, C_out]
+    matmul per kernel tap; with C_in of 3..32 each tap is lane-padded up to
+    42x on the 128-lane MXU (the identity/expression encoders' first UNet
+    levels — the dominant non-march step cost, stepbudget_r3). Folding the
+    stride-2 lattice into channels (space-to-depth) and the 2x2 remaining
+    window into an im2col axis turns the whole conv into a single
+    [pixels, 16*C_in] x [16*C_in, C_out] matmul: 48 wide at C_in=3 instead
+    of sixteen 3-wide accumulations. Bitwise-equal weights; only the
+    contraction order changes (float-associativity-level differences).
+    """
+    n, h, w, c = x.shape
+    f = w_eff.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    hp, wp = h + 2, w + 2
+    # S[u, v, (py, px, ci)] = xp[2u + py, 2v + px, ci]
+    s = (
+        xp.reshape(n, hp // 2, 2, wp // 2, 2, c)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(n, hp // 2, wp // 2, 4 * c)
+    )
+    # out[o] = sum_k W[k] xp[2o + k]; with k = 2u + p the 4x4 window becomes
+    # the 2x2 neighborhood of S: patches[(uy, ux, py, px, ci)].
+    patches = jnp.concatenate(
+        [s[:, :-1, :-1], s[:, :-1, 1:], s[:, 1:, :-1], s[:, 1:, 1:]], axis=-1
+    )
+    # w[ky, kx, ci, co] -> [(uy, ux, py, px, ci), co]
+    w2 = (
+        w_eff.reshape(2, 2, 2, 2, c, f)
+        .transpose(0, 2, 1, 3, 4, 5)
+        .reshape(16 * c, f)
+    )
+    return jnp.einsum("nhwk,kf->nhwf", patches, w2)
+
+
 class Conv2dWN(nn.Module):
-    """Weight-normalized 2D conv, NHWC in / NHWC out, HWIO kernel."""
+    """Weight-normalized 2D conv, NHWC in / NHWC out, HWIO kernel.
+
+    ``s2d=True`` (only valid for kernel 4, stride 2, padding 1, even input)
+    computes the identical conv via a space-to-depth im2col matmul — exact
+    same parameters/init, MXU-efficient at small channel counts (see
+    :func:`_conv_s2d_4x4s2`).
+    """
 
     features: int
     kernel_size: Union[int, Tuple[int, int]] = 1
@@ -104,6 +147,7 @@ class Conv2dWN(nn.Module):
     gain: float = 1.0
     use_bias: bool = True
     dtype: Optional[Any] = None
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -121,14 +165,22 @@ class Conv2dWN(nn.Module):
         )
         g = self.param("g", _wn_scale_init(w, self.features))
         w_eff = _wn_effective(w, g, channel_axis=3)
+        w_eff = w_eff.astype(self.dtype or x.dtype)
 
-        y = jax.lax.conv_general_dilated(
-            x,
-            w_eff.astype(self.dtype or x.dtype),
-            window_strides=(sh, sw),
-            padding=[(ph, ph), (pw, pw)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        ).astype(self.dtype or x.dtype)
+        if self.s2d:
+            if (kh, kw, sh, sw, ph, pw) != (4, 4, 2, 2, 1, 1):
+                raise ValueError("s2d path requires kernel 4, stride 2, padding 1")
+            if x.shape[1] % 2 or x.shape[2] % 2:
+                raise ValueError("s2d path requires even spatial dims")
+            y = _conv_s2d_4x4s2(x, w_eff).astype(self.dtype or x.dtype)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x,
+                w_eff,
+                window_strides=(sh, sw),
+                padding=[(ph, ph), (pw, pw)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ).astype(self.dtype or x.dtype)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + b.astype(y.dtype)
@@ -290,6 +342,9 @@ class ConvSeq(nn.Module):
     specs: Sequence[dict]
     final_activation: bool = False
     dtype: Optional[Any] = None
+    # Non-transposed 4x4/stride-2/pad-1 convs whose input has fewer channels
+    # than this run via the exact space-to-depth im2col path (0 = disabled).
+    s2d_max_ch: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -302,6 +357,16 @@ class ConvSeq(nn.Module):
             gain = LEAKY_GAIN if act else 1.0
             cls = ConvTranspose2dWN if spec.get("transpose") else Conv2dWN
             kwargs = {k: v for k, v in spec.items() if k != "transpose"}
+            if (
+                not spec.get("transpose")
+                and x.shape[-1] < self.s2d_max_ch
+                and _as_pair(kwargs.get("kernel_size", 1)) == (4, 4)
+                and _as_pair(kwargs.get("strides", 1)) == (2, 2)
+                and _as_pair(kwargs.get("padding", 0)) == (1, 1)
+                and x.shape[1] % 2 == 0
+                and x.shape[2] % 2 == 0
+            ):
+                kwargs["s2d"] = True
             x = cls(gain=gain, dtype=self.dtype, **kwargs)(x)
             if act:
                 x = leaky_relu(x)

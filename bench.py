@@ -91,22 +91,53 @@ def main() -> None:
 
     # Kernel-level roofline (BASELINE.md: raymarch throughput vs HBM
     # speed-of-light): fwd/bwd wall time, Mrays/s, and the ratio of measured
-    # forward time to the minimum HBM streaming time.
+    # forward time to the minimum HBM streaming time — measured on the SAME
+    # scene the step above marches (the model's own march operands at the
+    # benched state), not a synthetic stand-in.
     raymarch = {}
     if os.environ.get("AVA256_BENCH_RAYMARCH", "1") != "0":
         import sys
 
-        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "scripts"))
-        from kbench import measure_raymarch
+        import jax.numpy as jnp
 
-        rep, _ = measure_raymarch(batch, h, w, nprims, steps=max(steps - 2, 2))
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "scripts"))
+        from kbench import measure_raymarch_arrays
+
+        from ava256_tpu.train.step import BATCH_MODEL_KEYS
+
+        @jax.jit
+        def march_inputs(params, stats, batch):
+            out = model.apply(
+                {"params": params, "stats": stats},
+                target_neut_avgtex=batch["neut_avgtex"],
+                target_neut_verts=batch["neut_verts"],
+                idindex=batch.get("idindex"),
+                camindex=batch.get("camindex"),
+                deterministic=True,
+                output_set=frozenset({"march_inputs"}),
+                **{k: batch[k] for k in BATCH_MODEL_KEYS},
+            )
+            return out["march_inputs"]
+
+        mi = jax.block_until_ready(march_inputs(state.params, state.stats, mb))
+        rm_opts = dict(model.raymarcher.options)
+        rep, _ = measure_raymarch_arrays(
+            mi["raypos"], mi["raydir"], float(model.raymarcher.dt), mi["tminmax"],
+            mi["primpos"], mi["primrot"], mi["primscale"], mi["template"],
+            warp=mi.get("warp"), steps=max(steps - 2, 2),
+            tile=int(rm_opts.get("tile", 16)),
+            max_hit=int(rm_opts.get("max_hit", 64)),
+            fadescale=model.raymarcher.fadescale,
+            fadeexp=model.raymarcher.fadeexp,
+        )
         raymarch = {
             k: rep[k]
             for k in (
                 "fwd_s", "bwd_s", "bwd_over_fwd", "mrays_per_s_fwd",
-                "x_hbm_speed_of_light",
+                "x_hbm_speed_of_light", "cull_s", "candidates", "alpha_mean",
             )
         }
+        raymarch["scene"] = "bench-step scene (model march operands)"
 
     print(
         json.dumps(

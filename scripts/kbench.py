@@ -76,11 +76,13 @@ def make_flagship_scene(batch=4, h=512, w=334, nprims=16384, boxsize=8, seed=0):
 
 
 
-def measure_raymarch(batch=4, h=512, w=334, nprims=16384, steps=3, tile=16,
-                     max_hit=64, seed=0, hbm_gbps=None, rows=4, boxsize=8,
-                     two_stage=None, cull_max_groups=8, cull_group_size=256):
-    """Time the Pallas raymarch fwd/bwd at the given geometry and derive the
-    HBM speed-of-light fraction.
+def measure_raymarch_arrays(rp, rd, stepsize, tmm, pp, pr, ps, tpl,
+                            warp=None, prim_mask=None, steps=3, tile=16,
+                            max_hit=64, hbm_gbps=None, rows=4, two_stage=None,
+                            cull_max_groups=8, cull_group_size=256,
+                            fadescale=8.0, fadeexp=8.0):
+    """Time the Pallas raymarch fwd/bwd on the GIVEN kernel operands and
+    derive the HBM speed-of-light fraction.
 
     Speed-of-light model: the march must at minimum stream every surviving
     (tile, candidate) RGBA box (bs^3*4 floats) from HBM once, plus the per-tile
@@ -93,18 +95,14 @@ def measure_raymarch(batch=4, h=512, w=334, nprims=16384, steps=3, tile=16,
     from ava256_tpu.ops.raymarch_pallas import _tile_and_cull, mvp_raymarch_pallas
 
     hbm_gbps = hbm_gbps or float(os.environ.get("AVA256_HBM_GBPS", 819.0))
-    s = make_flagship_scene(batch, h, w, nprims, boxsize=boxsize, seed=seed)
-    rp, rd, tmm = (jnp.asarray(s[k]) for k in ("raypos", "raydir", "tminmax"))
-    pp, pr, ps, tpl = (
-        jnp.asarray(s[k]) for k in ("primpos", "primrot", "primscale", "template")
-    )
-    kw = dict(fadescale=8.0, fadeexp=8.0, tile=tile, max_hit=max_hit, rows=rows,
-              two_stage_cull=two_stage, cull_max_groups=cull_max_groups,
-              cull_group_size=cull_group_size)
+    kw = dict(fadescale=fadescale, fadeexp=fadeexp, tile=tile, max_hit=max_hit,
+              rows=rows, two_stage_cull=two_stage,
+              cull_max_groups=cull_max_groups, cull_group_size=cull_group_size,
+              prim_mask=prim_mask)
 
     def fwd(pp, pr, ps, tpl):
         return mvp_raymarch_pallas(
-            rp, rd, s["stepsize"], tmm, pp, pr, ps, tpl, None, **kw
+            rp, rd, stepsize, tmm, pp, pr, ps, tpl, warp, **kw
         )
 
     def loss(pp, pr, ps, tpl):
@@ -130,10 +128,15 @@ def measure_raymarch(batch=4, h=512, w=334, nprims=16384, steps=3, tile=16,
     # information-theoretic minimum HBM bytes for the forward march; the
     # cull is also timed alone (sub-linear-in-K check for the two-stage path)
     bs = tpl.shape[2]
+    pm = (
+        jnp.ones(pp.shape[:2], jnp.float32)
+        if prim_mask is None
+        else jnp.asarray(prim_mask)
+    )
     cull = jax.jit(
         lambda pp, ps: _tile_and_cull(
-            rp, rd, tmm, pp, ps, jnp.ones(pp.shape[:2], jnp.float32),
-            tile, max_hit, s["stepsize"], two_stage=two_stage,
+            rp, rd, tmm, pp, ps, pm,
+            tile, max_hit, stepsize, two_stage=two_stage,
             cull_max_groups=cull_max_groups, cull_group_size=cull_group_size,
         )
     )
@@ -147,7 +150,7 @@ def measure_raymarch(batch=4, h=512, w=334, nprims=16384, steps=3, tile=16,
     box_bytes = nval * bs * bs * bs * 4 * 4
     ray_bytes = int(meta["ntiles"]) * int(meta["tsz"]) * (3 + 3 + 2 + 4) * 4
     sol_s = (box_bytes + ray_bytes) / (hbm_gbps * 1e9)
-    nrays = batch * h * w
+    nrays = int(np.prod(rp.shape[:-1]))
     return {
         "fwd_s": round(t_fwd, 4),
         "cull_s": round(t_cull, 4),
@@ -160,7 +163,26 @@ def measure_raymarch(batch=4, h=512, w=334, nprims=16384, steps=3, tile=16,
         "candidates": nval,
         "alpha_mean": round(float(jnp.mean(out[..., 3])), 4),
         "backend": jax.default_backend(),
-    }, (fwd, grad, s, (rp, rd, tmm, pp, pr, ps, tpl))
+    }, (fwd, grad)
+
+
+def measure_raymarch(batch=4, h=512, w=334, nprims=16384, steps=3, tile=16,
+                     max_hit=64, seed=0, hbm_gbps=None, rows=4, boxsize=8,
+                     two_stage=None, cull_max_groups=8, cull_group_size=256):
+    """Time the Pallas raymarch fwd/bwd on the synthetic shell scene."""
+    import jax.numpy as jnp
+
+    s = make_flagship_scene(batch, h, w, nprims, boxsize=boxsize, seed=seed)
+    rp, rd, tmm = (jnp.asarray(s[k]) for k in ("raypos", "raydir", "tminmax"))
+    pp, pr, ps, tpl = (
+        jnp.asarray(s[k]) for k in ("primpos", "primrot", "primscale", "template")
+    )
+    rep, (fwd, grad) = measure_raymarch_arrays(
+        rp, rd, s["stepsize"], tmm, pp, pr, ps, tpl, steps=steps, tile=tile,
+        max_hit=max_hit, hbm_gbps=hbm_gbps, rows=rows, two_stage=two_stage,
+        cull_max_groups=cull_max_groups, cull_group_size=cull_group_size,
+    )
+    return rep, (fwd, grad, s, (rp, rd, tmm, pp, pr, ps, tpl))
 
 
 def main():

@@ -235,3 +235,35 @@ def test_compute_raydirs():
     center = tm[0, h // 2, w // 2]
     np.testing.assert_allclose(center[0], 500 / 256 - 1, atol=1e-2)
     np.testing.assert_allclose(center[1], 500 / 256 + 1, atol=1e-2)
+
+
+def test_conv_s2d_matches_lax_conv():
+    """The space-to-depth im2col path must compute the same conv (same
+    params) as the lax conv lowering, for every lane-starved UNet level
+    shape, in fwd and grad."""
+    import jax
+    from ava256_tpu.ops.layers import Conv2dWN
+
+    rng = jax.random.PRNGKey(7)
+    for (h, w, cin, cout) in [(32, 32, 3, 16), (16, 16, 16, 32), (8, 8, 32, 64),
+                              (10, 6, 5, 7)]:
+        x = jax.random.normal(rng, (2, h, w, cin), jnp.float32)
+        ref = Conv2dWN(features=cout, kernel_size=4, strides=2, padding=1)
+        v = ref.init(rng, x)
+        fast = Conv2dWN(features=cout, kernel_size=4, strides=2, padding=1, s2d=True)
+
+        y_ref = ref.apply(v, x)
+        y_fast = fast.apply(v, x)
+        assert y_fast.shape == y_ref.shape == (2, h // 2, w // 2, cout)
+        np.testing.assert_allclose(
+            np.asarray(y_fast), np.asarray(y_ref), atol=2e-5, rtol=1e-5
+        )
+
+        g_ref = jax.grad(lambda p: jnp.sum(jnp.sin(ref.apply(p, x))))(v)
+        g_fast = jax.grad(lambda p: jnp.sum(jnp.sin(fast.apply(p, x))))(v)
+        def check(path, a, b):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=3e-5, rtol=1e-4,
+                err_msg=jax.tree_util.keystr(path),
+            )
+        jax.tree_util.tree_map_with_path(check, g_ref, g_fast)
