@@ -261,9 +261,11 @@ def _gather_and_pack(fp_pos, fp_rot, fp_scale, fp_boxT, cand_gid, cand_valid,
                      cand_tstart, mh, bs, fp_warpT=None):
     """Per-tile candidate tables: SMEM scalars [NT, MH, 16] (A row-major 0:9,
     b 9:12, t_start 12), pre-transposed boxes [NT, MH, bs*4, BZY], and
-    (optionally) pre-transposed warp volumes [NT, MH, bs*3, BZY]."""
+    (optionally) pre-transposed warp volumes [NT, MH, bs*3, BZY].
+    fp_boxT=None skips the box/warp gathers (the DMA-candidate kernels fetch
+    boxes straight from the flat tables)."""
     ntiles = cand_gid.shape[0]
-    c_box = fp_boxT[cand_gid]
+    c_box = None if fp_boxT is None else fp_boxT[cand_gid]
     c_warp = None if fp_warpT is None else fp_warpT[cand_gid]
     A, b = _pack_affine(
         fp_pos[cand_gid], fp_rot[cand_gid].reshape(ntiles, mh, 3, 3), fp_scale[cand_gid]
@@ -507,8 +509,70 @@ def _rowoff(R, t2):
     return (lane // t2).astype(jnp.float32)
 
 
+def _box_src_gathered(boxes_ref, warps_ref):
+    """Candidate boxes pre-gathered per tile by XLA (VMEM blocks)."""
+
+    def start(hh):
+        return None
+
+    def get(hh):
+        return boxes_ref[0, hh], (None if warps_ref is None else warps_ref[0, hh])
+
+    def flush(hh_stop):
+        return None
+
+    return start, get, flush
+
+
+def _box_src_dma(fp_box_ref, fp_warp_ref, gid_ref, tile_i, boxbuf, sem_box,
+                 warpbuf, sem_warp, max_hit):
+    """Double-buffered per-candidate DMA from the flat HBM box/warp tables.
+
+    Kills the XLA candidate gather (~[NT, MH] x 16KB boxes materialized,
+    written and re-read through HBM — the reference never pays this, its
+    warps read the template in place, mvpraymarch_subset_kernel.h:76-97):
+    the kernel fetches candidate hh's box while marching candidate hh-1,
+    and tiles that terminate early never touch the candidates they skip.
+
+    start(hh) begins the fetch of candidate hh into buffer hh%2; get(hh)
+    waits for it and returns the box (and warp) values; flush(hh_stop)
+    drains the one copy that is always left in flight when the march stops
+    (every body iteration starts hh+1 and waits hh, and the pre-loop starts
+    hh=0). Invalid gid rows (-1 padding) clamp to 0 — their fetch is
+    harmless and never consumed."""
+
+    def _copies(hh):
+        h = jnp.clip(hh, 0, max_hit - 1)
+        g = jnp.maximum(gid_ref[tile_i, h], 0)
+        p = jax.lax.rem(hh, 2)
+        cs = [pltpu.make_async_copy(fp_box_ref.at[g], boxbuf.at[p], sem_box.at[p])]
+        if fp_warp_ref is not None:
+            cs.append(
+                pltpu.make_async_copy(fp_warp_ref.at[g], warpbuf.at[p], sem_warp.at[p])
+            )
+        return cs, p
+
+    def start(hh):
+        cs, _ = _copies(hh)
+        for c in cs:
+            c.start()
+
+    def get(hh):
+        cs, p = _copies(hh)
+        for c in cs:
+            c.wait()
+        return boxbuf[p], (None if fp_warp_ref is None else warpbuf[p])
+
+    def flush(hh_stop):
+        cs, _ = _copies(hh_stop)
+        for c in cs:
+            c.wait()
+
+    return start, get, flush
+
+
 def _phase_march(
-    scal_ref, boxes_ref, warps_ref, acc, c4, c3,
+    scal_ref, box_src, acc, c4, c3,
     ox, oy, oz, dx, dy, dz, tmin, tmax,
     *, dt, fadescale, fadeexp, max_hit, nbuf, bs, rows,
 ):
@@ -525,6 +589,7 @@ def _phase_march(
     scan/termination state uses the untiled [0:T2] lane prefix."""
     t2 = acc.shape[-1]
     R = rows
+    box_start, box_get, box_flush = box_src
     tmin_u = tmin[0:t2]
     tmax_u = tmax[0:t2]
     live = tmin_u < tmax_u
@@ -552,8 +617,8 @@ def _phase_march(
         )
         rmin = jnp.where(r1i > r0i, jnp.minimum(rmin, r0i), rmin)
         rmax = jnp.where(r1i > r0i, jnp.maximum(rmax, r1i), rmax)
-        boxT = boxes_ref[0, hh]
-        warpT = None if warps_ref is None else warps_ref[0, hh]
+        box_start(hh + 1)
+        boxT, warpT = box_get(hh)
 
         def rows_body(i, _):
             base = r0i + R * i
@@ -602,12 +667,16 @@ def _phase_march(
         cum = jax.lax.fori_loop(0, (rhi2 - r_scan + B - 1) // B, scan_blk, cum)
         return hh + 1, tnext2, rhi2, cum, rmin, rmax
 
+    box_start(jnp.int32(0))
     t2f = jnp.zeros((t2,), jnp.float32)
     hh_stop, _, _, _, rmin, rmax = jax.lax.while_loop(
         cond, body,
         (jnp.int32(0), scal_ref[0, 0, 12], jnp.int32(0), t2f,
          jnp.int32(nbuf), jnp.int32(0)),
     )
+    # exactly one fetch (index hh_stop) is still in flight when the loop
+    # exits; drain it so the kernel ends with quiet semaphores
+    box_flush(hh_stop)
     return hh_stop, jnp.minimum(rmin, rmax), rmax
 
 
@@ -617,14 +686,29 @@ def _phase_march(
 
 
 def _fwd_kernel(
-    scal_ref, o_ref, d_ref, mm_ref, boxes_ref, *rest,
-    dt, fadescale, fadeexp, max_hit, nbuf, bs, dowarp, rows,
+    *refs,
+    dt, fadescale, fadeexp, max_hit, nbuf, bs, dowarp, rows, dma,
 ):
-    if dowarp:
-        warps_ref, out_ref, acc = rest
+    if dma:
+        gid_ref, scal_ref, o_ref, d_ref, mm_ref, fp_box_ref, *rest = refs
+        if dowarp:
+            (fp_warp_ref, out_ref, acc,
+             boxbuf, sem_box, warpbuf, sem_warp) = rest
+        else:
+            out_ref, acc, boxbuf, sem_box = rest
+            fp_warp_ref = warpbuf = sem_warp = None
+        box_src = _box_src_dma(
+            fp_box_ref, fp_warp_ref, gid_ref, pl.program_id(0),
+            boxbuf, sem_box, warpbuf, sem_warp, max_hit,
+        )
     else:
-        out_ref, acc = rest
-        warps_ref = None
+        scal_ref, o_ref, d_ref, mm_ref, boxes_ref, *rest = refs
+        if dowarp:
+            warps_ref, out_ref, acc = rest
+        else:
+            out_ref, acc = rest
+            warps_ref = None
+        box_src = _box_src_gathered(boxes_ref, warps_ref)
     t2 = acc.shape[-1]  # untiled tile size; refs are lane-tiled to rows*t2
     ox, oy, oz = o_ref[0, 0, :], o_ref[0, 1, :], o_ref[0, 2, :]
     dx, dy, dz = d_ref[0, 0, :], d_ref[0, 1, :], d_ref[0, 2, :]
@@ -635,7 +719,7 @@ def _fwd_kernel(
 
     acc[...] = jnp.zeros_like(acc)
     _, rmin, rmax = _phase_march(
-        scal_ref, boxes_ref, warps_ref, acc, c4, c3,
+        scal_ref, box_src, acc, c4, c3,
         ox, oy, oz, dx, dy, dz, tmin, tmax,
         dt=dt, fadescale=fadescale, fadeexp=fadeexp,
         max_hit=max_hit, nbuf=nbuf, bs=bs, rows=rows,
@@ -670,23 +754,45 @@ def _fwd_kernel(
 def _bwd_kernel(
     gid_ref,  # scalar-prefetch: [NT, MH] int32 (-1 = invalid)
     scal_ref, o_ref, d_ref, mm_ref, boxes_ref, *rest,
-    dt, fadescale, fadeexp, max_hit, nbuf, bs, dowarp, rows,
+    dt, fadescale, fadeexp, max_hit, nbuf, bs, dowarp, rows, dma,
 ):
     """See module docstring. gbox/gaff (and gwarp with warp fields) are HBM
     accumulators aliased input->output; the sequential tile grid makes
-    read-modify-write safe."""
-    if dowarp:
-        (warps_ref, g_ref, _gb_in, _ga_in, _gw_in,
-         gbox_out, gaff_out, gwarp_out,
-         acc, comp, compw, dbuf, dafbuf, dwbuf, dbox, dafscr, dwarp,
-         stage_box, stage_aff, stage_warp, sems) = rest
-    else:
-        (g_ref, _gb_in, _ga_in,
-         gbox_out, gaff_out,
-         acc, comp, compw, dbuf, dafbuf, dbox, dafscr,
-         stage_box, stage_aff, sems) = rest
-        warps_ref = dwbuf = dwarp = stage_warp = gwarp_out = None
+    read-modify-write safe. With ``dma`` the boxes_ref argument is the flat
+    HBM box table ([K, bs*4, BZY], indexed by this tile's gid row) instead
+    of a per-tile VMEM block of gathered candidates."""
     tile_i = pl.program_id(0)
+    if dma:
+        if dowarp:
+            (fp_warp_ref, g_ref, _gb_in, _ga_in, _gw_in,
+             gbox_out, gaff_out, gwarp_out,
+             acc, comp, compw, dbuf, dafbuf, dwbuf, dbox, dafscr, dwarp,
+             stage_box, stage_aff, stage_warp, sems,
+             boxbuf, sem_box, warpbuf, sem_warp) = rest
+        else:
+            (g_ref, _gb_in, _ga_in,
+             gbox_out, gaff_out,
+             acc, comp, compw, dbuf, dafbuf, dbox, dafscr,
+             stage_box, stage_aff, sems, boxbuf, sem_box) = rest
+            fp_warp_ref = dwbuf = dwarp = stage_warp = gwarp_out = None
+            warpbuf = sem_warp = None
+        box_src = _box_src_dma(
+            boxes_ref, fp_warp_ref, gid_ref, tile_i,
+            boxbuf, sem_box, warpbuf, sem_warp, max_hit,
+        )
+    else:
+        if dowarp:
+            (warps_ref, g_ref, _gb_in, _ga_in, _gw_in,
+             gbox_out, gaff_out, gwarp_out,
+             acc, comp, compw, dbuf, dafbuf, dwbuf, dbox, dafscr, dwarp,
+             stage_box, stage_aff, stage_warp, sems) = rest
+        else:
+            (g_ref, _gb_in, _ga_in,
+             gbox_out, gaff_out,
+             acc, comp, compw, dbuf, dafbuf, dbox, dafscr,
+             stage_box, stage_aff, sems) = rest
+            warps_ref = dwbuf = dwarp = stage_warp = gwarp_out = None
+        box_src = _box_src_gathered(boxes_ref, warps_ref)
     t2 = acc.shape[-1]  # untiled tile size; refs are lane-tiled to rows*t2
     ox, oy, oz = o_ref[0, 0, :], o_ref[0, 1, :], o_ref[0, 2, :]
     dx, dy, dz = d_ref[0, 0, :], d_ref[0, 1, :], d_ref[0, 2, :]
@@ -702,7 +808,7 @@ def _bwd_kernel(
     # ---- phase A: rebuild the density/color step buffers ----
     acc[...] = jnp.zeros_like(acc)
     hh_stop, rmin, rmax = _phase_march(
-        scal_ref, boxes_ref, warps_ref, acc, c4, c3,
+        scal_ref, box_src, acc, c4, c3,
         ox, oy, oz, dx, dy, dz, tmin, tmax,
         dt=dt, fadescale=fadescale, fadeexp=fadeexp,
         max_hit=max_hit, nbuf=nbuf, bs=bs, rows=rows,
@@ -775,13 +881,15 @@ def _bwd_kernel(
 
     jax.lax.fori_loop(rmin // R, (rmax + R - 1) // R, relayout, 0)
 
+    box_start, box_get, box_flush = box_src
+
     def prim_bwd(hh, _):
         A, b = _read_affine(scal_ref, hh)
         oyv, dyv, tin, tout, seg, (r0i, r1i) = _prim_setup(
             A, b, ox, oy, oz, dx, dy, dz, tmin, tmax, dt, nbuf
         )
-        boxT = boxes_ref[0, hh]
-        warpT = None if warps_ref is None else warps_ref[0, hh]
+        box_start(hh + 1)
+        boxT, warpT = box_get(hh)
         r1i = jnp.minimum(r1i, tile_satrow_i)
         # align the batch base to R so each iteration maps to one compw block
         r0a = (jnp.maximum(r0i, rmin) // R) * R
@@ -849,7 +957,9 @@ def _bwd_kernel(
             dwbuf[hh] = dwarp[...]
         return 0
 
+    box_start(jnp.int32(0))
     jax.lax.fori_loop(0, hh_stop, prim_bwd, 0)
+    box_flush(hh_stop)
 
     # ---- drain: fold per-tile gradient buffers into the HBM accumulators ----
     def drain(hh, _):
@@ -896,6 +1006,8 @@ def _bspec(block, space=None):
 
 
 def _forward_pallas(scal, t_o, t_d, t_mm, c_box, c_warp, cfg):
+    """Gathered-candidate forward: per-tile candidate boxes arrive as
+    pipelined VMEM blocks (XLA gathered them up front)."""
     ntiles, tsz = t_o.shape[0], t_o.shape[2]
     mh, bs = scal.shape[1], cfg["bs"]
     R = cfg["rows"]
@@ -903,7 +1015,7 @@ def _forward_pallas(scal, t_o, t_d, t_mm, c_box, c_warp, cfg):
     kernel = partial(
         _fwd_kernel, dt=cfg["dt"], fadescale=cfg["fadescale"],
         fadeexp=cfg["fadeexp"], max_hit=mh, nbuf=cfg["nbuf"], bs=bs,
-        dowarp=dowarp, rows=R,
+        dowarp=dowarp, rows=R, dma=False,
     )
     # lane-tile the per-ray vectors R times so the kernel marches R step
     # rows per iteration as one W = R*tsz wide register (Mosaic cannot
@@ -936,10 +1048,75 @@ def _forward_pallas(scal, t_o, t_d, t_mm, c_box, c_warp, cfg):
     )(*args)
 
 
-def _backward_pallas(gid_sp, scal, t_o, t_d, t_mm, c_box, c_warp, g_tiles, nk, cfg):
+def _forward_pallas_dma(gid_sp, scal, t_o, t_d, t_mm, fp_boxT, fp_warpT, cfg):
+    """DMA-candidate forward: the kernel fetches each candidate's box from
+    the flat HBM table while marching the previous one (see _box_src_dma).
+    Tiles are chunked so the scalar-prefetched gid table fits SMEM."""
+    ntiles, tsz = t_o.shape[0], t_o.shape[2]
+    mh, bs = scal.shape[1], cfg["bs"]
+    R = cfg["rows"]
+    dowarp = fp_warpT is not None
+    kernel = partial(
+        _fwd_kernel, dt=cfg["dt"], fadescale=cfg["fadescale"],
+        fadeexp=cfg["fadeexp"], max_hit=mh, nbuf=cfg["nbuf"], bs=bs,
+        dowarp=dowarp, rows=R, dma=True,
+    )
+    t_o, t_d, t_mm = (jnp.tile(x, (1, 1, R)) for x in (t_o, t_d, t_mm))
+    chunk = max(1, min(ntiles, (256 * 1024) // (mh * 4)))
+    nchunks = -(-ntiles // chunk)
+    outs = []
+    for i in range(nchunks):
+        sl = slice(i * chunk, min((i + 1) * chunk, ntiles))
+        nt_c = t_o[sl].shape[0]
+        in_specs = [
+            _bspec((1, mh, 16), pltpu.SMEM),
+            _bspec((1, 3, R * tsz)),
+            _bspec((1, 3, R * tsz)),
+            _bspec((1, 2, R * tsz)),
+            pl.BlockSpec(memory_space=pl.ANY),  # flat HBM box table
+        ]
+        args = [gid_sp[sl], scal[sl], t_o[sl], t_d[sl], t_mm[sl], fp_boxT]
+        scratch = [
+            pltpu.VMEM((cfg["nbuf"], 4, tsz), jnp.float32),
+            pltpu.VMEM((2, bs * 4, _bzy(bs)), jnp.float32),  # boxbuf
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+        if dowarp:
+            in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+            args.insert(6, fp_warpT)
+            scratch += [
+                pltpu.VMEM((2, bs * 3, _bzy(bs)), jnp.float32),  # warpbuf
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nt_c,),
+            in_specs=in_specs,
+            out_specs=_bspec((1, 4, tsz)),
+            scratch_shapes=scratch,
+        )
+        outs.append(
+            pl.pallas_call(
+                kernel,
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct((nt_c, 4, tsz), jnp.float32),
+                interpret=cfg["interpret"],
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("arbitrary",),
+                    vmem_limit_bytes=100 * 1024 * 1024,
+                ),
+            )(*args)
+        )
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+
+
+def _backward_pallas(gid_sp, scal, t_o, t_d, t_mm, c_box, c_warp, g_tiles, nk,
+                     cfg, dma=False):
     """Runs the backward kernel over tile chunks (the scalar-prefetched gid
     table must fit SMEM), threading the HBM gradient accumulators through the
-    chunk calls by input/output aliasing."""
+    chunk calls by input/output aliasing. With ``dma``, c_box/c_warp are the
+    FLAT per-image box/warp tables ([K, ...]) the kernel DMA-fetches from,
+    not per-tile gathers."""
     ntiles, tsz = t_o.shape[0], t_o.shape[2]
     mh, bs = scal.shape[1], cfg["bs"]
     nbuf = cfg["nbuf"]
@@ -948,7 +1125,7 @@ def _backward_pallas(gid_sp, scal, t_o, t_d, t_mm, c_box, c_warp, g_tiles, nk, c
     kernel = partial(
         _bwd_kernel, dt=cfg["dt"], fadescale=cfg["fadescale"],
         fadeexp=cfg["fadeexp"], max_hit=mh, nbuf=nbuf, bs=bs, dowarp=dowarp,
-        rows=R,
+        rows=R, dma=dma,
     )
     # lane-tile the per-ray vectors and the incoming cotangent (see
     # _forward_pallas)
@@ -975,10 +1152,16 @@ def _backward_pallas(gid_sp, scal, t_o, t_d, t_mm, c_box, c_warp, g_tiles, nk, c
             _bspec((1, 3, R * tsz)),
             _bspec((1, 3, R * tsz)),
             _bspec((1, 2, R * tsz)),
-            _bspec((1, mh, bs * 4, _bzy(bs))),
+            pl.BlockSpec(memory_space=pl.ANY)  # flat HBM box table
+            if dma
+            else _bspec((1, mh, bs * 4, _bzy(bs))),
         ]
         if dowarp:
-            in_specs.append(_bspec((1, mh, bs * 3, _bzy(bs))))
+            in_specs.append(
+                pl.BlockSpec(memory_space=pl.ANY)
+                if dma
+                else _bspec((1, mh, bs * 3, _bzy(bs)))
+            )
         in_specs.append(_bspec((1, 4, R * tsz)))
         in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))  # gbox acc
         in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))  # gaff acc
@@ -1013,6 +1196,12 @@ def _backward_pallas(gid_sp, scal, t_o, t_d, t_mm, c_box, c_warp, g_tiles, nk, c
         if dowarp:
             scratch.append(pltpu.VMEM((bs * 3, _bzy(bs)), jnp.float32))  # stage_warp
         scratch.append(pltpu.SemaphoreType.DMA((2,)))
+        if dma:
+            scratch.append(pltpu.VMEM((2, bs * 4, _bzy(bs)), jnp.float32))  # boxbuf
+            scratch.append(pltpu.SemaphoreType.DMA((2,)))  # sem_box
+            if dowarp:
+                scratch.append(pltpu.VMEM((2, bs * 3, _bzy(bs)), jnp.float32))
+                scratch.append(pltpu.SemaphoreType.DMA((2,)))  # sem_warp
         # inputs: gid(0) scal(1) o(2) d(3) mm(4) box(5) [warp(6)] g gbox gaff [gwarp]
         base = 7 if dowarp else 6
         aliases = {base + 1: 0, base + 2: 1}
@@ -1039,14 +1228,16 @@ def _backward_pallas(gid_sp, scal, t_o, t_d, t_mm, c_box, c_warp, g_tiles, nk, c
 
     for i in range(nchunks):
         sl = slice(i * chunk, min((i + 1) * chunk, ntiles))
+        box_c = c_box if dma else c_box[sl]  # flat table is chunk-invariant
+        warp_c = c_warp if dma else (None if c_warp is None else c_warp[sl])
         if dowarp:
             gbox, gaff, gwarp = call(
-                (gid_sp[sl], scal[sl], t_o[sl], t_d[sl], t_mm[sl], c_box[sl],
-                 c_warp[sl], g_tiles[sl], gbox, gaff, gwarp)
+                (gid_sp[sl], scal[sl], t_o[sl], t_d[sl], t_mm[sl], box_c,
+                 warp_c, g_tiles[sl], gbox, gaff, gwarp)
             )
         else:
             gbox, gaff = call(
-                (gid_sp[sl], scal[sl], t_o[sl], t_d[sl], t_mm[sl], c_box[sl],
+                (gid_sp[sl], scal[sl], t_o[sl], t_d[sl], t_mm[sl], box_c,
                  g_tiles[sl], gbox, gaff)
             )
     return gbox, gaff, gwarp
@@ -1076,6 +1267,7 @@ def _make_raymarch(cfg_key):
             two_stage=cfg["two_stage_cull"],
         )
         mh = cand_gid.shape[1]
+        dma = cfg["candidates"] == "dma"
         fp_pos = primpos.reshape(n * K, 3)
         fp_rot = primrot.reshape(n * K, 9)
         fp_scale = primscale.reshape(n * K, 3)
@@ -1085,12 +1277,18 @@ def _make_raymarch(cfg_key):
             else _flatten_volT(warp.reshape(n * K, bs, bs, bs, 3), bs, 3)
         )
         scal, c_box, c_warp = _gather_and_pack(
-            fp_pos, fp_rot, fp_scale, fp_boxT, cand_gid, cand_valid,
-            cand_tstart, mh, bs, fp_warpT
+            fp_pos, fp_rot, fp_scale, None if dma else fp_boxT, cand_gid,
+            cand_valid, cand_tstart, mh, bs, None if dma else fp_warpT
         )
-        out_tiles = _forward_pallas(
-            scal, t_o, t_d, t_mm, c_box, c_warp, {**cfg, "bs": bs}
-        )
+        if dma:
+            out_tiles = _forward_pallas_dma(
+                cand_gid, scal, t_o, t_d, t_mm, fp_boxT, fp_warpT,
+                {**cfg, "bs": bs}
+            )
+        else:
+            out_tiles = _forward_pallas(
+                scal, t_o, t_d, t_mm, c_box, c_warp, {**cfg, "bs": bs}
+            )
         out = _untile(out_tiles, meta, cfg["tile"])
         # residuals hold only the small culling results; the big per-tile
         # gathers (scal, c_box, c_warp) are rebuilt in the backward pass
@@ -1117,9 +1315,10 @@ def _make_raymarch(cfg_key):
             )
         )
         mh = cand_gid.shape[1]
+        dma = cfg["candidates"] == "dma"
         scal, c_box, c_warp = _gather_and_pack(
-            fp_pos, fp_rot, fp_scale, fp_boxT, cand_gid, cand_valid,
-            cand_tstart, mh, bs, fp_warpT
+            fp_pos, fp_rot, fp_scale, None if dma else fp_boxT, cand_gid,
+            cand_valid, cand_tstart, mh, bs, None if dma else fp_warpT
         )
 
         # Tile the incoming cotangent exactly like the forward inputs.
@@ -1140,10 +1339,15 @@ def _make_raymarch(cfg_key):
             gid_local = jnp.where(
                 cand_valid[sl], cand_gid[sl] - b * K, -1
             ).astype(jnp.int32)
+            if dma:
+                box_b = fp_boxT[b * K : (b + 1) * K]
+                warp_b = None if fp_warpT is None else fp_warpT[b * K : (b + 1) * K]
+            else:
+                box_b = c_box[sl]
+                warp_b = None if c_warp is None else c_warp[sl]
             gbox_b, gaff_b, gwarp_b = _backward_pallas(
-                gid_local, scal[sl], t_o[sl], t_d[sl], t_mm[sl], c_box[sl],
-                None if c_warp is None else c_warp[sl],
-                g_tiles[sl], K, {**cfg, "bs": bs}
+                gid_local, scal[sl], t_o[sl], t_d[sl], t_mm[sl], box_b,
+                warp_b, g_tiles[sl], K, {**cfg, "bs": bs}, dma=dma,
             )
             gboxes.append(gbox_b)
             gaffs.append(gaff_b)
@@ -1214,7 +1418,7 @@ def mvp_raymarch_pallas(*args, interpret=None, **kwargs):
     static_argnames=(
         "stepsize", "fadescale", "fadeexp", "tile", "max_hit", "nbuf",
         "interpret", "rows", "cull_group_size", "cull_max_groups",
-        "two_stage_cull",
+        "two_stage_cull", "candidates",
     ),
 )
 def _mvp_raymarch_pallas_jit(
@@ -1238,6 +1442,7 @@ def _mvp_raymarch_pallas_jit(
     cull_group_size: int = 256,
     cull_max_groups: int = 8,
     two_stage_cull: Optional[bool] = None,
+    candidates: str = "dma",
     **_unused,
 ) -> jnp.ndarray:
     bs_check = template.shape[2]
@@ -1273,6 +1478,7 @@ def _mvp_raymarch_pallas_jit(
                 two_stage_cull=(
                     None if two_stage_cull is None else bool(two_stage_cull)
                 ),
+                candidates=str(candidates),
             ).items()
         )
     )

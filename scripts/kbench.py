@@ -80,7 +80,7 @@ def measure_raymarch_arrays(rp, rd, stepsize, tmm, pp, pr, ps, tpl,
                             warp=None, prim_mask=None, steps=3, tile=16,
                             max_hit=64, hbm_gbps=None, rows=4, two_stage=None,
                             cull_max_groups=8, cull_group_size=256,
-                            fadescale=8.0, fadeexp=8.0):
+                            fadescale=8.0, fadeexp=8.0, candidates="dma"):
     """Time the Pallas raymarch fwd/bwd on the GIVEN kernel operands and
     derive the HBM speed-of-light fraction.
 
@@ -98,7 +98,7 @@ def measure_raymarch_arrays(rp, rd, stepsize, tmm, pp, pr, ps, tpl,
     kw = dict(fadescale=fadescale, fadeexp=fadeexp, tile=tile, max_hit=max_hit,
               rows=rows, two_stage_cull=two_stage,
               cull_max_groups=cull_max_groups, cull_group_size=cull_group_size,
-              prim_mask=prim_mask)
+              prim_mask=prim_mask, candidates=candidates)
 
     def fwd(pp, pr, ps, tpl):
         return mvp_raymarch_pallas(
@@ -168,7 +168,8 @@ def measure_raymarch_arrays(rp, rd, stepsize, tmm, pp, pr, ps, tpl,
 
 def measure_raymarch(batch=4, h=512, w=334, nprims=16384, steps=3, tile=16,
                      max_hit=64, seed=0, hbm_gbps=None, rows=4, boxsize=8,
-                     two_stage=None, cull_max_groups=8, cull_group_size=256):
+                     two_stage=None, cull_max_groups=8, cull_group_size=256,
+                     candidates="dma"):
     """Time the Pallas raymarch fwd/bwd on the synthetic shell scene."""
     import jax.numpy as jnp
 
@@ -181,6 +182,7 @@ def measure_raymarch(batch=4, h=512, w=334, nprims=16384, steps=3, tile=16,
         rp, rd, s["stepsize"], tmm, pp, pr, ps, tpl, steps=steps, tile=tile,
         max_hit=max_hit, hbm_gbps=hbm_gbps, rows=rows, two_stage=two_stage,
         cull_max_groups=cull_max_groups, cull_group_size=cull_group_size,
+        candidates=candidates,
     )
     return rep, (fwd, grad, s, (rp, rd, tmm, pp, pr, ps, tpl))
 
@@ -200,6 +202,7 @@ def main():
     ap.add_argument("--two-stage", choices=["auto", "on", "off"], default="auto")
     ap.add_argument("--cull-max-groups", type=int, default=8)
     ap.add_argument("--cull-group-size", type=int, default=256)
+    ap.add_argument("--candidates", choices=["dma", "gathered"], default="dma")
     args = ap.parse_args()
     h, w = map(int, args.hw.split("x"))
 
@@ -213,6 +216,7 @@ def main():
         two_stage={"auto": None, "on": True, "off": False}[args.two_stage],
         cull_max_groups=args.cull_max_groups,
         cull_group_size=args.cull_group_size,
+        candidates=args.candidates,
     )
     print(json.dumps(rep))
 

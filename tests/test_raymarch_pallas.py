@@ -248,3 +248,41 @@ def test_group_table_layouts():
     t2 = _group_table(24, 16)  # non-square: consecutive strips
     assert t2.shape[0] * t2.shape[1] == 24
     assert sorted(t2.reshape(-1).tolist()) == list(range(24))
+
+
+@pytest.mark.parametrize("warp", [False, True])
+def test_pallas_dma_candidates_match_gathered(warp):
+    """candidates='dma' (in-kernel double-buffered box fetch) must compute
+    exactly what candidates='gathered' (XLA per-tile gather) computes —
+    same math, different data movement — in output and all gradients."""
+    s = make_scene(N=2, H=17, W=17, k3=2, M=8, warp=warp)
+    rp, rd, tmm = (jnp.asarray(s[k]) for k in ("raypos", "raydir", "tminmax"))
+    names = ("primpos", "primrot", "primscale", "template") + (
+        ("warp",) if warp else ()
+    )
+    prims = [jnp.asarray(s[k]) for k in names]
+
+    def loss(mode):
+        def f(*args):
+            wp = args[4] if warp else None
+            return jnp.sum(
+                jnp.sin(
+                    mvp_raymarch_pallas(
+                        rp, rd, s["stepsize"], tmm, *args[:4], wp,
+                        fadescale=6.5, fadeexp=8.0, interpret=True,
+                        tile=8, max_hit=8, nbuf=64, candidates=mode,
+                    )
+                )
+            )
+        return f
+
+    argnums = tuple(range(len(prims)))
+    a = float(loss("gathered")(*prims))
+    b = float(loss("dma")(*prims))
+    np.testing.assert_allclose(a, b, rtol=1e-6)
+    g_a = jax.grad(loss("gathered"), argnums=argnums)(*prims)
+    g_b = jax.grad(loss("dma"), argnums=argnums)(*prims)
+    for name, ga, gb in zip(names, g_a, g_b):
+        np.testing.assert_allclose(
+            np.asarray(ga), np.asarray(gb), atol=1e-6, rtol=1e-5, err_msg=name
+        )
