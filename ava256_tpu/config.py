@@ -8,6 +8,7 @@ attribute-dict implementation (fvcore is not a dependency).
 from __future__ import annotations
 
 import ast
+import logging
 from typing import Any, Dict, List, Optional
 
 import yaml
@@ -47,10 +48,23 @@ class Config(dict):
         for key, raw in pairs:
             node = self
             parts = key.split(".")
+            known = True
             for p in parts[:-1]:
                 if p not in node or not isinstance(node[p], dict):
                     node[p] = Config()
+                    known = False
                 node = node[p]
+            if known and parts[-1] not in node:
+                known = False
+            if not known:
+                # A typo'd override (train.outdir=...) would otherwise be a
+                # silent no-op: the key is created but nothing reads it.
+                logging.warning(
+                    "config override %r creates a new key not present in the "
+                    "YAML — check for a typo (e.g. progress.output_path, not "
+                    "outdir)",
+                    key,
+                )
             try:
                 val = ast.literal_eval(raw)
             except (ValueError, SyntaxError):

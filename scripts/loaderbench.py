@@ -1,11 +1,10 @@
 #!/usr/bin/env python3
 """Input-pipeline throughput benchmark.
 
-Builds an on-disk capture fixture at the real dome resolution (4096x2668,
-PNG — the release ships AVIF; pillow-avif is probed at runtime and PNG is
-the fallback codec, so this measures the same zip-read -> decode -> resize ->
-normalize path with a different codec) and measures ShardedLoader items/s
-end to end for a range of worker counts.
+Builds an on-disk capture fixture at the real dome resolution (4096x2668)
+in the release's own codec (AVIF, decoded natively by Pillow >= 12; --codec
+png for comparison) and measures ShardedLoader items/s end to end for a
+range of worker counts.
 
 The flagship training rate needs batch(4) x steps/s items per host; compare
 the printed items/s against that (reference loads with 4 worker processes,
@@ -33,11 +32,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 NVERTS = 7306
 
 
-def _png(img: np.ndarray) -> bytes:
+def _encode(img: np.ndarray, codec: str = "png") -> bytes:
     from PIL import Image
 
     buf = io.BytesIO()
-    Image.fromarray(img).save(buf, format="PNG")
+    if codec == "avif":
+        # speed=10/quality=60 ~ the release's capture-pipeline settings ballpark
+        Image.fromarray(img).save(buf, format="AVIF", quality=60, speed=10)
+    else:
+        Image.fromarray(img).save(buf, format="PNG")
     return buf.getvalue()
 
 
@@ -50,7 +53,7 @@ def _ply(verts: np.ndarray) -> bytes:
     return header + verts.astype("<f4").tobytes()
 
 
-def build_fixture(root: Path, n_frames: int, full_res: bool = True):
+def build_fixture(root: Path, n_frames: int, full_res: bool = True, codec: str = "png"):
     rng = np.random.RandomState(0)
     (root / "image").mkdir(parents=True)
     (root / "uv_image").mkdir()
@@ -79,17 +82,17 @@ def build_fixture(root: Path, n_frames: int, full_res: bool = True):
             f.write(f"EXP_smile,{int(fr)}\n")
 
     # one real photo-sized image reused per frame entry (exercises decode+resize)
-    img_bytes = _png(rng.randint(0, 255, (h, w, 3), np.uint8))
+    img_bytes = _encode(rng.randint(0, 255, (h, w, 3), np.uint8), codec)
     for cam in cameras:
         with zipfile.ZipFile(root / "image" / f"cam{cam}.zip", "w") as z:
             for fr in frames:
-                z.writestr(f"cam{cam}/{int(fr):06d}.png", img_bytes)
-    tex_bytes = _png(rng.randint(0, 255, (1024, 1024, 3), np.uint8))
+                z.writestr(f"cam{cam}/{int(fr):06d}.{codec}", img_bytes)
+    tex_bytes = _encode(rng.randint(0, 255, (1024, 1024, 3), np.uint8), codec)
     with zipfile.ZipFile(root / "uv_image" / "color.zip", "w") as z:
         for fr in frames:
-            z.writestr(f"color/{int(fr):06d}.png", tex_bytes)
+            z.writestr(f"color/{int(fr):06d}.{codec}", tex_bytes)
     (root / "uv_image" / "color_mean.png").write_bytes(
-        _png(rng.randint(0, 255, (1024, 1024, 3), np.uint8))
+        _encode(rng.randint(0, 255, (1024, 1024, 3), np.uint8))
     )
     (root / "uv_image" / "color_variance.txt").write_text("625.0")
     verts = rng.randn(NVERTS, 3).astype(np.float32) * 10
@@ -119,15 +122,22 @@ def main():
     ap.add_argument("--workers", default="1,2,4")
     ap.add_argument("--processes", action="store_true")
     ap.add_argument("--small", action="store_true", help="512x334 source images")
+    ap.add_argument("--codec", choices=["avif", "png"], default=None,
+                    help="fixture image codec (default: avif when Pillow decodes it)")
     args = ap.parse_args()
 
     from ava256_tpu.data.dataset import MugsyCapture, SingleCaptureDataset
     from ava256_tpu.data.loader import ShardedLoader
 
     with tempfile.TemporaryDirectory() as td:
+        codec = args.codec
+        if codec is None:
+            from PIL import features
+
+            codec = "avif" if features.check("avif") else "png"
         root = Path(td) / "decoder"
         t0 = time.time()
-        build_fixture(root, args.frames, full_res=not args.small)
+        build_fixture(root, args.frames, full_res=not args.small, codec=codec)
         build_s = time.time() - t0
 
         cap = MugsyCapture(mcd="20260101", mct="0000", sid="bench")
@@ -162,6 +172,7 @@ def main():
             json.dumps(
                 {
                     "source_px": "512x334" if args.small else "4096x2668",
+                    "codec": codec,
                     "downsample": args.downsample,
                     "workers": "processes" if args.processes else "threads",
                     "single_thread_item_s": round(per_item_s, 3),

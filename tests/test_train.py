@@ -120,3 +120,17 @@ def test_config_dotted_override_scalars():
     assert c.model.bgmodel is False
     assert c.model.lr == 2e-4
     assert c.model.name == "abc"
+
+
+def test_config_override_warns_on_unknown_key(caplog):
+    import logging
+
+    from ava256_tpu.config import Config
+
+    c = Config.from_nested({"train": {"maxiter": 10}})
+    with caplog.at_level(logging.WARNING):
+        c.merge_dotted(["train.maxiter=20"])
+    assert not caplog.records
+    with caplog.at_level(logging.WARNING):
+        c.merge_dotted(["train.outdir=foo"])
+    assert any("train.outdir" in r.getMessage() for r in caplog.records)
