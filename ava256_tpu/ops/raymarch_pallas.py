@@ -99,29 +99,38 @@ def _cone_test(centers, rads, live, apex, axis, tanmax, dmax, tile_tmin,
     return hit, t_start
 
 
-@lru_cache(maxsize=None)
-def _group_table(K: int, group_size: int):
-    """[G, g] member-index table grouping primitives into spatially compact
-    blocks for the coarse cull stage. Primitives are laid out row-major on an
-    nh x nh slab grid (decoder contract: models/decoders/geometry.py), so
-    square gb x gb blocks of that grid are compact surface patches; when K
-    isn't a perfect square, fall back to consecutive-index strips (still
-    sound, just weaker grouping)."""
-    import numpy as np
+def _morton_spread(x):
+    """Spread the low 10 bits of a uint32 to every 3rd bit (Morton interleave
+    helper; same bit trick the reference's LBVH builds its codes with,
+    reference: extensions/mvpraymarch/bvh.cu:22-60)."""
+    x = x & jnp.uint32(0x3FF)
+    x = (x | (x << 16)) & jnp.uint32(0x030000FF)
+    x = (x | (x << 8)) & jnp.uint32(0x0300F00F)
+    x = (x | (x << 4)) & jnp.uint32(0x030C30C3)
+    x = (x | (x << 2)) & jnp.uint32(0x09249249)
+    return x
 
-    nh = int(round(K**0.5))
-    if nh * nh == K:
-        gb = max(1, int(round(group_size**0.5)))
-        while nh % gb:
-            gb -= 1
-        ids = np.arange(K, dtype=np.int32).reshape(nh // gb, gb, nh // gb, gb)
-        return np.ascontiguousarray(
-            ids.transpose(0, 2, 1, 3).reshape(-1, gb * gb)
-        )
-    g = min(group_size, K)
-    while K % g:
-        g -= 1
-    return np.arange(K, dtype=np.int32).reshape(-1, g)
+
+def _morton_order(primpos, live_nk):
+    """[N, K] primitive ordering by 30-bit Morton code over each batch item's
+    live bounding box; dead primitives sort to the end. This is the TPU
+    stand-in for the reference's LBVH construction (bvh.cu:22-201): a radix
+    sort by Morton code is exactly how that LBVH linearizes space, and
+    contiguous runs of the sorted order play the role of its subtrees."""
+    big = jnp.float32(1e9)
+    masked = jnp.where(live_nk[..., None], primpos, big)
+    lo = jnp.min(masked, axis=1, keepdims=True)
+    masked = jnp.where(live_nk[..., None], primpos, -big)
+    hi = jnp.max(masked, axis=1, keepdims=True)
+    span = jnp.maximum(hi - lo, 1e-6)
+    q = jnp.clip((primpos - lo) / span * 1023.0, 0.0, 1023.0).astype(jnp.uint32)
+    code = (
+        (_morton_spread(q[..., 0]) << 2)
+        | (_morton_spread(q[..., 1]) << 1)
+        | _morton_spread(q[..., 2])
+    )
+    code = jnp.where(live_nk, code, jnp.uint32(0xFFFFFFFF))
+    return jnp.argsort(code, axis=1).astype(jnp.int32)
 
 
 def _tile_and_cull(raypos, raydir, tminmax, primpos, primscale, prim_mask,
@@ -176,17 +185,31 @@ def _tile_and_cull(raypos, raydir, tminmax, primpos, primscale, prim_mask,
         # Two-stage cull — the TPU answer to the reference's LBVH
         # (reference: extensions/mvpraymarch/bvh.cu:22-201). A dense
         # [ntiles, K] test materializes O(ntiles*K) temporaries (8+ GB at
-        # 262144 prims); instead test per-tile against G = K/g group
+        # 262144 prims); instead Morton-sort the primitives (the same
+        # spatial linearization the LBVH radix-sorts by), group contiguous
+        # runs of the sorted order, test per-tile against the G = K/g group
         # bounding spheres, keep the earliest-reachable cull_max_groups
         # groups, and run the exact per-prim test only on their members.
         # Group spheres contain every member sphere, so a group miss
         # soundly implies a member miss; group truncation is ordered by
-        # the same t_start bound the per-prim top_k uses.
-        table = jnp.asarray(_group_table(K, cull_group_size))  # [G, g]
-        G, g = table.shape
-        mem = primpos[:, table]  # [N, G, g, 3]
-        mem_rad = radii[:, table]  # [N, G, g]
-        mem_live = live_nk[:, table]
+        # the same t_start bound the per-prim top_k uses. Member data for
+        # surviving groups moves as whole packed rows ([g, 6] blocks), not
+        # per-element gathers — block DMA is what the TPU gathers well.
+        g = max(1, min(cull_group_size, K))
+        G = -(-K // g)
+        Kp = G * g
+        order_s = _morton_order(primpos, live_nk)  # [N, K]
+        pos_s = jnp.take_along_axis(primpos, order_s[..., None], axis=1)
+        rad_s = jnp.take_along_axis(radii, order_s, axis=1)
+        live_s = jnp.take_along_axis(live_nk, order_s, axis=1)
+        if Kp > K:
+            pos_s = jnp.pad(pos_s, ((0, 0), (0, Kp - K), (0, 0)))
+            rad_s = jnp.pad(rad_s, ((0, 0), (0, Kp - K)))
+            live_s = jnp.pad(live_s, ((0, 0), (0, Kp - K)))
+            order_s = jnp.pad(order_s, ((0, 0), (0, Kp - K)))
+        mem = pos_s.reshape(n, G, g, 3)
+        mem_rad = rad_s.reshape(n, G, g)
+        mem_live = live_s.reshape(n, G, g)
         lo = jnp.min(jnp.where(mem_live[..., None], mem, big), axis=2)
         hi = jnp.max(jnp.where(mem_live[..., None], mem, -big), axis=2)
         any_live = jnp.any(mem_live, axis=2)  # [N, G]
@@ -204,20 +227,34 @@ def _tile_and_cull(raypos, raydir, tminmax, primpos, primscale, prim_mask,
         M = min(cull_max_groups, G)
         gneg, gorder = jax.lax.top_k(-gkey, M)
         gvalid = jnp.isfinite(gneg)  # [NT, M]
-        cand_local = table[gorder].reshape(ntiles, M * g)  # [NT, M*g]
-        gids = tile_b[:, None] * K + cand_local
-        fp_pos = primpos.reshape(n * K, 3)
-        centers = fp_pos[gids]
-        rads = radii.reshape(n * K)[gids]
-        live_c = live_nk.reshape(n * K)[gids] & jnp.repeat(gvalid, g, axis=1)
+        # packed per-group member rows: pos(3) rad(1) live(1) orig-id(1);
+        # ids are exact as f32 (K << 2^24). One row gather of [M, g*6]
+        # blocks per tile replaces M*g scattered element gathers.
+        pk = jnp.concatenate(
+            [
+                mem,
+                mem_rad[..., None],
+                mem_live[..., None].astype(jnp.float32),
+                order_s.reshape(n, G, g)[..., None].astype(jnp.float32),
+            ],
+            axis=-1,
+        ).reshape(n * G, g * 6)
+        rows = pk[tile_b[:, None] * G + gorder]  # [NT, M, g*6]
+        memc = rows.reshape(ntiles, M, g, 6)
+        centers = memc[..., 0:3].reshape(ntiles, M * g, 3)
+        rads = memc[..., 3].reshape(ntiles, M * g)
+        live_c = (memc[..., 4] > 0.5).reshape(ntiles, M * g) & jnp.repeat(
+            gvalid, g, axis=1
+        )
+        cand_local = memc[..., 5].reshape(ntiles, M * g).astype(jnp.int32)
         hit, t_start = _cone_test(centers, rads, live_c, *cone)
         key = jnp.where(hit, t_start, jnp.inf)
         mh = min(max_hit, key.shape[1])
         neg_top, order = jax.lax.top_k(-key, mh)
         cand_tstart = -neg_top  # [NT, MH], +inf for invalid
         cand_valid = jnp.isfinite(cand_tstart)
-        cand_gid = jnp.take_along_axis(gids, order, axis=1)
-        cand_gid = jnp.where(cand_valid, cand_gid, 0)
+        gids = tile_b[:, None] * K + jnp.take_along_axis(cand_local, order, axis=1)
+        cand_gid = jnp.where(cand_valid, gids, 0)
     else:
         hit, t_start = _cone_test(primpos[tile_b], radii[tile_b],
                                   live_nk[tile_b], *cone)
@@ -754,13 +791,19 @@ def _fwd_kernel(
 def _bwd_kernel(
     gid_ref,  # scalar-prefetch: [NT, MH] int32 (-1 = invalid)
     scal_ref, o_ref, d_ref, mm_ref, boxes_ref, *rest,
-    dt, fadescale, fadeexp, max_hit, nbuf, bs, dowarp, rows, dma,
+    dt, fadescale, fadeexp, max_hit, nbuf, bs, dowarp, rows, dma, bwd_stop=4,
 ):
     """See module docstring. gbox/gaff (and gwarp with warp fields) are HBM
     accumulators aliased input->output; the sequential tile grid makes
     read-modify-write safe. With ``dma`` the boxes_ref argument is the flat
     HBM box table ([K, bs*4, BZY], indexed by this tile's gid row) instead
-    of a per-tile VMEM block of gathered candidates."""
+    of a per-tile VMEM block of gathered candidates.
+
+    ``bwd_stop`` is timing instrumentation (kbench --bwd-stop): truncate the
+    kernel after phase A (1), B (2), or C (3); 4 = the full kernel. Truncated
+    variants write a data-dependent probe to the gradient accumulator so the
+    compiler cannot dead-code the phases that did run — their gradients are
+    WRONG and only the wall-clock is meaningful."""
     tile_i = pl.program_id(0)
     if dma:
         if dowarp:
@@ -814,6 +857,13 @@ def _bwd_kernel(
         max_hit=max_hit, nbuf=nbuf, bs=bs, rows=rows,
     )
 
+    if bwd_stop == 1:
+        stage_aff[0, 0:128] = acc[0, 3, 0:128]
+        cp = pltpu.make_async_copy(stage_aff, gaff_out.at[0], sems.at[1])
+        cp.start()
+        cp.wait()
+        return
+
     # ---- phase B: composite cotangents per row ----
     # forward scan: store contrib/a ("cscale") and post-row cumulative density
     def comp_fwd(rr, carry):
@@ -853,6 +903,13 @@ def _bwd_kernel(
 
     zero = jnp.zeros((t2,), jnp.float32)
     jax.lax.fori_loop(0, rmax - rmin, comp_rev, (zero, zero))
+
+    if bwd_stop == 2:
+        stage_aff[0, 0:128] = comp[0, 1, 0:128]
+        cp = pltpu.make_async_copy(stage_aff, gaff_out.at[0], sems.at[1])
+        cp.start()
+        cp.wait()
+        return
 
     # ---- phase C: re-march, chain per-sample cotangents into VMEM buffers ----
     # Step rows are batched like phase A (width R*T2); the dbox/dafscr row
@@ -960,6 +1017,13 @@ def _bwd_kernel(
     box_start(jnp.int32(0))
     jax.lax.fori_loop(0, hh_stop, prim_bwd, 0)
     box_flush(hh_stop)
+
+    if bwd_stop == 3:
+        stage_aff[0, 0:128] = dbuf[0, 0, 0:128]
+        cp = pltpu.make_async_copy(stage_aff, gaff_out.at[0], sems.at[1])
+        cp.start()
+        cp.wait()
+        return
 
     # ---- drain: fold per-tile gradient buffers into the HBM accumulators ----
     def drain(hh, _):
@@ -1125,7 +1189,7 @@ def _backward_pallas(gid_sp, scal, t_o, t_d, t_mm, c_box, c_warp, g_tiles, nk,
     kernel = partial(
         _bwd_kernel, dt=cfg["dt"], fadescale=cfg["fadescale"],
         fadeexp=cfg["fadeexp"], max_hit=mh, nbuf=nbuf, bs=bs, dowarp=dowarp,
-        rows=R, dma=dma,
+        rows=R, dma=dma, bwd_stop=cfg.get("bwd_stop", 4),
     )
     # lane-tile the per-ray vectors and the incoming cotangent (see
     # _forward_pallas)
@@ -1418,7 +1482,7 @@ def mvp_raymarch_pallas(*args, interpret=None, **kwargs):
     static_argnames=(
         "stepsize", "fadescale", "fadeexp", "tile", "max_hit", "nbuf",
         "interpret", "rows", "cull_group_size", "cull_max_groups",
-        "two_stage_cull", "candidates",
+        "two_stage_cull", "candidates", "bwd_stop",
     ),
 )
 def _mvp_raymarch_pallas_jit(
@@ -1443,6 +1507,7 @@ def _mvp_raymarch_pallas_jit(
     cull_max_groups: int = 8,
     two_stage_cull: Optional[bool] = None,
     candidates: str = "dma",
+    bwd_stop: int = 4,
     **_unused,
 ) -> jnp.ndarray:
     bs_check = template.shape[2]
@@ -1479,6 +1544,7 @@ def _mvp_raymarch_pallas_jit(
                     None if two_stage_cull is None else bool(two_stage_cull)
                 ),
                 candidates=str(candidates),
+                bwd_stop=int(bwd_stop),
             ).items()
         )
     )

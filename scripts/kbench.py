@@ -80,7 +80,8 @@ def measure_raymarch_arrays(rp, rd, stepsize, tmm, pp, pr, ps, tpl,
                             warp=None, prim_mask=None, steps=3, tile=16,
                             max_hit=64, hbm_gbps=None, rows=4, two_stage=None,
                             cull_max_groups=8, cull_group_size=256,
-                            fadescale=8.0, fadeexp=8.0, candidates="dma"):
+                            fadescale=8.0, fadeexp=8.0, candidates="dma",
+                            bwd_stop=4):
     """Time the Pallas raymarch fwd/bwd on the GIVEN kernel operands and
     derive the HBM speed-of-light fraction.
 
@@ -98,7 +99,7 @@ def measure_raymarch_arrays(rp, rd, stepsize, tmm, pp, pr, ps, tpl,
     kw = dict(fadescale=fadescale, fadeexp=fadeexp, tile=tile, max_hit=max_hit,
               rows=rows, two_stage_cull=two_stage,
               cull_max_groups=cull_max_groups, cull_group_size=cull_group_size,
-              prim_mask=prim_mask, candidates=candidates)
+              prim_mask=prim_mask, candidates=candidates, bwd_stop=bwd_stop)
 
     def fwd(pp, pr, ps, tpl):
         return mvp_raymarch_pallas(
@@ -169,7 +170,7 @@ def measure_raymarch_arrays(rp, rd, stepsize, tmm, pp, pr, ps, tpl,
 def measure_raymarch(batch=4, h=512, w=334, nprims=16384, steps=3, tile=16,
                      max_hit=64, seed=0, hbm_gbps=None, rows=4, boxsize=8,
                      two_stage=None, cull_max_groups=8, cull_group_size=256,
-                     candidates="dma"):
+                     candidates="dma", bwd_stop=4):
     """Time the Pallas raymarch fwd/bwd on the synthetic shell scene."""
     import jax.numpy as jnp
 
@@ -182,7 +183,7 @@ def measure_raymarch(batch=4, h=512, w=334, nprims=16384, steps=3, tile=16,
         rp, rd, s["stepsize"], tmm, pp, pr, ps, tpl, steps=steps, tile=tile,
         max_hit=max_hit, hbm_gbps=hbm_gbps, rows=rows, two_stage=two_stage,
         cull_max_groups=cull_max_groups, cull_group_size=cull_group_size,
-        candidates=candidates,
+        candidates=candidates, bwd_stop=bwd_stop,
     )
     return rep, (fwd, grad, s, (rp, rd, tmm, pp, pr, ps, tpl))
 
@@ -203,6 +204,9 @@ def main():
     ap.add_argument("--cull-max-groups", type=int, default=8)
     ap.add_argument("--cull-group-size", type=int, default=256)
     ap.add_argument("--candidates", choices=["dma", "gathered"], default="dma")
+    ap.add_argument("--bwd-stop", type=int, default=4, choices=[1, 2, 3, 4],
+                    help="truncate the backward kernel after phase A/B/C "
+                    "(timing instrumentation; gradients are wrong below 4)")
     args = ap.parse_args()
     h, w = map(int, args.hw.split("x"))
 
@@ -216,7 +220,7 @@ def main():
         two_stage={"auto": None, "on": True, "off": False}[args.two_stage],
         cull_max_groups=args.cull_max_groups,
         cull_group_size=args.cull_group_size,
-        candidates=args.candidates,
+        candidates=args.candidates, bwd_stop=args.bwd_stop,
     )
     print(json.dumps(rep))
 

@@ -236,18 +236,30 @@ def test_pallas_two_stage_cull_matches_dense():
     assert np.isfinite(float(trunc(*prims)))
 
 
-def test_group_table_layouts():
-    from ava256_tpu.ops.raymarch_pallas import _group_table
+def test_morton_order_spatial_and_dead_prims():
+    """The cull's Morton ordering (the LBVH's spatial sort, bvh.cu:22-60)
+    must (a) be a permutation, (b) sort dead primitives to the end, and
+    (c) keep spatial clusters contiguous so groups of the sorted order are
+    compact regardless of the decoder's index layout."""
+    from ava256_tpu.ops.raymarch_pallas import _morton_order
 
-    t = _group_table(64, 16)  # 8x8 grid, 4x4 blocks
-    assert t.shape == (4, 16)
-    assert sorted(t.reshape(-1).tolist()) == list(range(64))
-    # block members are spatially compact on the 8x8 grid
-    rows, cols = t[0] // 8, t[0] % 8
-    assert rows.max() - rows.min() <= 3 and cols.max() - cols.min() <= 3
-    t2 = _group_table(24, 16)  # non-square: consecutive strips
-    assert t2.shape[0] * t2.shape[1] == 24
-    assert sorted(t2.reshape(-1).tolist()) == list(range(24))
+    rng = np.random.RandomState(0)
+    blob_a = rng.randn(32, 3) * 0.05 - 2.0
+    blob_b = rng.randn(32, 3) * 0.05 + 2.0
+    pos = np.empty((64, 3), np.float32)
+    pos[0::2] = blob_a  # interleave so index order is NOT spatial
+    pos[1::2] = blob_b
+    live = np.ones((1, 64), bool)
+    live[0, 10] = False
+    order = np.asarray(_morton_order(jnp.asarray(pos[None]), jnp.asarray(live)))[0]
+    assert sorted(order.tolist()) == list(range(64))
+    assert order[-1] == 10  # dead prim sorted last
+    # each half of the live order should be one blob (contiguous clusters)
+    labels = (order % 2)[:-1]  # 0 = blob_a, 1 = blob_b, dead prim dropped
+    first, second = labels[:31], labels[32:]
+    assert len(set(first.tolist())) == 1
+    assert len(set(second.tolist())) == 1
+    assert first[0] != second[0]
 
 
 @pytest.mark.parametrize("warp", [False, True])
