@@ -284,14 +284,71 @@ def _pack_affine(c_pos, c_rot, c_scale):
     return A, b
 
 
-def _flatten_volT(vol, bs, nch):
+def _pack_factor(bs, K):
+    """Boxes per flat-table row: P = 128 / bs^2 when the primsize is
+    lane-starved (bs^2 < 128) and K divides evenly, else 1 (unpacked).
+    P-packing keeps the HBM box/gradient tables fully dense — the TPU
+    answer to small-primitive configs like the reference's 262,144-prim
+    branch (reference: models/decoders/assembler.py:131-216), where an
+    unpacked table's 8x lane padding alone exceeds HBM."""
+    bsq = bs * bs
+    if bsq >= 128 or 128 % bsq != 0:
+        return 1
+    P = 128 // bsq
+    # only pack when the unpacked table would pad >= 4x (bs <= 4); at bs=8
+    # the padding is 2x and the unpacked path is the proven hot path
+    if P < 4:
+        return 1
+    return P if K % P == 0 else 1
+
+
+def _flatten_volT(vol, bs, nch, pack=1):
     """[NK, bs, bs, bs, nch] -> transposed [NK, bs*nch, BZY] with the zy axis
     zero-padded to a 128-lane multiple (Mosaic dynamic-slice alignment);
-    padded lanes hold zeros so they sample and backprop to nothing."""
+    padded lanes hold zeros so they sample and backprop to nothing.
+
+    With ``pack`` = P > 1 (only legal when P * bs^2 == 128), P consecutive
+    boxes share one [bs*nch, 128] row — box k lives at lanes
+    (k%P)*bs^2 : (k%P+1)*bs^2 of row k//P. The row shape the kernel DMAs is
+    identical to the unpacked case (BZY == 128); the table just has NK/P
+    fully dense rows instead of NK rows that are 1/P real data. At bs=4 and
+    262,144 prims this is the difference between a 1 GB table and an 8 GB
+    one (XLA pads any minor dim < 128 up to 128 in HBM)."""
     nk = vol.shape[0]
     flat = vol.reshape(nk, bs * bs, bs * nch)
-    flat = jnp.pad(flat, ((0, 0), (0, _bzy(bs) - bs * bs), (0, 0)))
-    return flat.transpose(0, 2, 1)
+    if pack == 1:
+        flat = jnp.pad(flat, ((0, 0), (0, _bzy(bs) - bs * bs), (0, 0)))
+        return flat.transpose(0, 2, 1)
+    assert pack * bs * bs == 128 and nk % pack == 0
+    rows = nk // pack
+    # Chunk the relayout: a single transpose materializes a lane-padded
+    # [rows, P, bs^2, bs*nch] temp (minor dim bs*nch < 128 pads 128/(bs*nch)x)
+    # — at 262k prims that temp alone is 8 GB. ~256 MB chunks bound it.
+    padded_bytes = nk * bs * nch * 128 * 4
+    nchunks = min(rows, max(1, -(-padded_bytes // (256 * 1024 * 1024))))
+    csz = -(-rows // nchunks)
+    outs = []
+    for i in range(0, rows, csz):
+        c = min(csz, rows - i)
+        blk = flat[i * pack:(i + c) * pack].reshape(c, pack, bs * bs, bs * nch)
+        outs.append(blk.transpose(0, 3, 1, 2).reshape(c, bs * nch, 128))
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+
+
+def _unflatten_grad(gbox, bs, nch, pack):
+    """Inverse of the packed _flatten_volT for the gradient tables:
+    [NK/P, bs*nch, 128] -> [NK, bs*bs, bs*nch] (chunked like the forward
+    relayout to bound the lane-padded transpose temp)."""
+    rows = gbox.shape[0]
+    padded_bytes = rows * pack * bs * nch * 128 * 4
+    nchunks = min(rows, max(1, -(-padded_bytes // (256 * 1024 * 1024))))
+    csz = -(-rows // nchunks)
+    outs = []
+    for i in range(0, rows, csz):
+        c = min(csz, rows - i)
+        blk = gbox[i:i + c].reshape(c, bs * nch, pack, bs * bs)
+        outs.append(blk.transpose(0, 2, 3, 1).reshape(c * pack, bs * bs, bs * nch))
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
 
 def _gather_and_pack(fp_pos, fp_rot, fp_scale, fp_boxT, cand_gid, cand_valid,
@@ -561,8 +618,27 @@ def _box_src_gathered(boxes_ref, warps_ref):
     return start, get, flush
 
 
+def _pack_extract(off, bsq):
+    """[128, 128] one-hot extractor for a P-packed row: E[l, c] = 1 iff
+    l == c + off and c < bsq, so row @ E pulls the candidate's bsq lanes
+    down to lanes 0:bsq and zeroes the rest (matching the unpacked table's
+    zero padding — lanes >= bsq must be exactly zero or warp-displaced
+    samples with out-of-range coords would read a neighboring box)."""
+    l = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    return ((l - c == off) & (c < bsq)).astype(jnp.float32)
+
+
+def _pack_scatter(off, bsq):
+    """Transpose of _pack_extract: dvol @ S places gradient lanes 0:bsq at
+    the candidate's packed offset before the HBM read-modify-write."""
+    l = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    c = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    return ((l - c == off) & (c < bsq)).astype(jnp.float32)
+
+
 def _box_src_dma(fp_box_ref, fp_warp_ref, gid_ref, tile_i, boxbuf, sem_box,
-                 warpbuf, sem_warp, max_hit):
+                 warpbuf, sem_warp, max_hit, pack=1, bsq=None):
     """Double-buffered per-candidate DMA from the flat HBM box/warp tables.
 
     Kills the XLA candidate gather (~[NT, MH] x 16KB boxes materialized,
@@ -581,27 +657,42 @@ def _box_src_dma(fp_box_ref, fp_warp_ref, gid_ref, tile_i, boxbuf, sem_box,
     def _copies(hh):
         h = jnp.clip(hh, 0, max_hit - 1)
         g = jnp.maximum(gid_ref[tile_i, h], 0)
+        row = g // pack if pack > 1 else g
         p = jax.lax.rem(hh, 2)
-        cs = [pltpu.make_async_copy(fp_box_ref.at[g], boxbuf.at[p], sem_box.at[p])]
+        cs = [pltpu.make_async_copy(fp_box_ref.at[row], boxbuf.at[p], sem_box.at[p])]
         if fp_warp_ref is not None:
             cs.append(
-                pltpu.make_async_copy(fp_warp_ref.at[g], warpbuf.at[p], sem_warp.at[p])
+                pltpu.make_async_copy(
+                    fp_warp_ref.at[row], warpbuf.at[p], sem_warp.at[p]
+                )
             )
-        return cs, p
+        return cs, p, g
 
     def start(hh):
-        cs, _ = _copies(hh)
+        cs, _, _ = _copies(hh)
         for c in cs:
             c.start()
 
     def get(hh):
-        cs, p = _copies(hh)
+        cs, p, g = _copies(hh)
         for c in cs:
             c.wait()
-        return boxbuf[p], (None if fp_warp_ref is None else warpbuf[p])
+        if pack == 1:
+            return boxbuf[p], (None if fp_warp_ref is None else warpbuf[p])
+        # packed row: extract this candidate's lanes with a one-hot matmul
+        # (one tiny MXU op per candidate; the march's sampling math then
+        # sees exactly the unpacked layout)
+        E = _pack_extract(jax.lax.rem(g, pack) * bsq, bsq)
+        bx = jnp.dot(boxbuf[p], E, preferred_element_type=jnp.float32)
+        wp = (
+            None
+            if fp_warp_ref is None
+            else jnp.dot(warpbuf[p], E, preferred_element_type=jnp.float32)
+        )
+        return bx, wp
 
     def flush(hh_stop):
-        cs, _ = _copies(hh_stop)
+        cs, _, _ = _copies(hh_stop)
         for c in cs:
             c.wait()
 
@@ -724,7 +815,7 @@ def _phase_march(
 
 def _fwd_kernel(
     *refs,
-    dt, fadescale, fadeexp, max_hit, nbuf, bs, dowarp, rows, dma,
+    dt, fadescale, fadeexp, max_hit, nbuf, bs, dowarp, rows, dma, pack=1,
 ):
     if dma:
         gid_ref, scal_ref, o_ref, d_ref, mm_ref, fp_box_ref, *rest = refs
@@ -737,6 +828,7 @@ def _fwd_kernel(
         box_src = _box_src_dma(
             fp_box_ref, fp_warp_ref, gid_ref, pl.program_id(0),
             boxbuf, sem_box, warpbuf, sem_warp, max_hit,
+            pack=pack, bsq=bs * bs,
         )
     else:
         scal_ref, o_ref, d_ref, mm_ref, boxes_ref, *rest = refs
@@ -791,7 +883,8 @@ def _fwd_kernel(
 def _bwd_kernel(
     gid_ref,  # scalar-prefetch: [NT, MH] int32 (-1 = invalid)
     scal_ref, o_ref, d_ref, mm_ref, boxes_ref, *rest,
-    dt, fadescale, fadeexp, max_hit, nbuf, bs, dowarp, rows, dma, bwd_stop=4,
+    dt, fadescale, fadeexp, max_hit, nbuf, bs, dowarp, rows, dma, pack=1,
+    bwd_stop=4,
 ):
     """See module docstring. gbox/gaff (and gwarp with warp fields) are HBM
     accumulators aliased input->output; the sequential tile grid makes
@@ -822,6 +915,7 @@ def _bwd_kernel(
         box_src = _box_src_dma(
             boxes_ref, fp_warp_ref, gid_ref, tile_i,
             boxbuf, sem_box, warpbuf, sem_warp, max_hit,
+            pack=pack, bsq=bs * bs,
         )
     else:
         if dowarp:
@@ -1031,13 +1125,27 @@ def _bwd_kernel(
 
         @pl.when(gid >= 0)
         def _():
-            cp1 = pltpu.make_async_copy(gbox_out.at[gid], stage_box, sems.at[0])
+            # gbox/gwarp rows are P-packed (pack > 1): scatter the local
+            # gradient to the candidate's lane offset before the RMW. Two
+            # same-tile candidates sharing a packed row are safe — each
+            # iteration's write completes (cp2.wait) before the next read.
+            # gaff stays per-prim (its [8, 128] rows are never packed).
+            row = gid // pack if pack > 1 else gid
+            if pack > 1:
+                S = _pack_scatter(jax.lax.rem(gid, pack) * (bs * bs), bs * bs)
+                dval = jax.lax.dot_general(
+                    dbuf[hh], S, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                dval = dbuf[hh]
+            cp1 = pltpu.make_async_copy(gbox_out.at[row], stage_box, sems.at[0])
             cp1.start()
             cp3 = pltpu.make_async_copy(gaff_out.at[gid], stage_aff, sems.at[1])
             cp3.start()
             cp1.wait()
-            stage_box[...] += dbuf[hh]
-            cp2 = pltpu.make_async_copy(stage_box, gbox_out.at[gid], sems.at[0])
+            stage_box[...] += dval
+            cp2 = pltpu.make_async_copy(stage_box, gbox_out.at[row], sems.at[0])
             cp2.start()
             cp3.wait()
             stage_aff[...] += dafbuf[hh]
@@ -1046,11 +1154,18 @@ def _bwd_kernel(
             cp4.start()
             cp4.wait()
             if dowarp:
-                cp5 = pltpu.make_async_copy(gwarp_out.at[gid], stage_warp, sems.at[0])
+                if pack > 1:
+                    dw = jax.lax.dot_general(
+                        dwbuf[hh], S, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                else:
+                    dw = dwbuf[hh]
+                cp5 = pltpu.make_async_copy(gwarp_out.at[row], stage_warp, sems.at[0])
                 cp5.start()
                 cp5.wait()
-                stage_warp[...] += dwbuf[hh]
-                cp6 = pltpu.make_async_copy(stage_warp, gwarp_out.at[gid], sems.at[0])
+                stage_warp[...] += dw
+                cp6 = pltpu.make_async_copy(stage_warp, gwarp_out.at[row], sems.at[0])
                 cp6.start()
                 cp6.wait()
 
@@ -1123,7 +1238,7 @@ def _forward_pallas_dma(gid_sp, scal, t_o, t_d, t_mm, fp_boxT, fp_warpT, cfg):
     kernel = partial(
         _fwd_kernel, dt=cfg["dt"], fadescale=cfg["fadescale"],
         fadeexp=cfg["fadeexp"], max_hit=mh, nbuf=cfg["nbuf"], bs=bs,
-        dowarp=dowarp, rows=R, dma=True,
+        dowarp=dowarp, rows=R, dma=True, pack=cfg.get("pack", 1),
     )
     t_o, t_d, t_mm = (jnp.tile(x, (1, 1, R)) for x in (t_o, t_d, t_mm))
     chunk = max(1, min(ntiles, (256 * 1024) // (mh * 4)))
@@ -1186,19 +1301,23 @@ def _backward_pallas(gid_sp, scal, t_o, t_d, t_mm, c_box, c_warp, g_tiles, nk,
     nbuf = cfg["nbuf"]
     R = cfg["rows"]
     dowarp = c_warp is not None
+    pack = cfg.get("pack", 1) if dma else 1
     kernel = partial(
         _bwd_kernel, dt=cfg["dt"], fadescale=cfg["fadescale"],
         fadeexp=cfg["fadeexp"], max_hit=mh, nbuf=nbuf, bs=bs, dowarp=dowarp,
-        rows=R, dma=dma, bwd_stop=cfg.get("bwd_stop", 4),
+        rows=R, dma=dma, pack=pack, bwd_stop=cfg.get("bwd_stop", 4),
     )
     # lane-tile the per-ray vectors and the incoming cotangent (see
     # _forward_pallas)
     t_o, t_d, t_mm, g_tiles = (
         jnp.tile(x, (1, 1, R)) for x in (t_o, t_d, t_mm, g_tiles)
     )
-    gbox = jnp.zeros((nk, bs * 4, _bzy(bs)), jnp.float32)
+    nk_rows = nk // pack  # packed tables carry P boxes per row
+    gbox = jnp.zeros((nk_rows, bs * 4, _bzy(bs)), jnp.float32)
     gaff = jnp.zeros((nk, 8, 128), jnp.float32)
-    gwarp = jnp.zeros((nk, bs * 3, _bzy(bs)), jnp.float32) if dowarp else None
+    gwarp = (
+        jnp.zeros((nk_rows, bs * 3, _bzy(bs)), jnp.float32) if dowarp else None
+    )
 
     # SMEM holds ~1MB of prefetched scalars; keep each chunk's gid table small.
     chunk = max(1, min(ntiles, (256 * 1024) // (mh * 4)))
@@ -1234,7 +1353,7 @@ def _backward_pallas(gid_sp, scal, t_o, t_d, t_mm, c_box, c_warp, g_tiles, nk,
             pl.BlockSpec(memory_space=pltpu.HBM),
         ]
         out_shape = [
-            jax.ShapeDtypeStruct((nk, bs * 4, _bzy(bs)), jnp.float32),
+            jax.ShapeDtypeStruct((nk_rows, bs * 4, _bzy(bs)), jnp.float32),
             jax.ShapeDtypeStruct((nk, 8, 128), jnp.float32),
         ]
         scratch = [
@@ -1248,7 +1367,7 @@ def _backward_pallas(gid_sp, scal, t_o, t_d, t_mm, c_box, c_warp, g_tiles, nk,
             in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))  # gwarp acc
             out_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
             out_shape.append(
-                jax.ShapeDtypeStruct((nk, bs * 3, _bzy(bs)), jnp.float32)
+                jax.ShapeDtypeStruct((nk_rows, bs * 3, _bzy(bs)), jnp.float32)
             )
             scratch.append(pltpu.VMEM((mh, bs * 3, _bzy(bs)), jnp.float32))  # dwbuf
         scratch.append(pltpu.VMEM((bs * 4, _bzy(bs)), jnp.float32))  # dbox
@@ -1331,14 +1450,20 @@ def _make_raymarch(cfg_key):
             two_stage=cfg["two_stage_cull"],
         )
         mh = cand_gid.shape[1]
-        dma = cfg["candidates"] == "dma"
+        pack = _pack_factor(bs, K)
+        # pack > 1 requires the DMA path: the gathered path would index an
+        # unpacked flat table, whose 8x lane padding is what packing exists
+        # to avoid (the 262,144-prim shapes OOM on it)
+        dma = cfg["candidates"] == "dma" or pack > 1
         fp_pos = primpos.reshape(n * K, 3)
         fp_rot = primrot.reshape(n * K, 9)
         fp_scale = primscale.reshape(n * K, 3)
-        fp_boxT = _flatten_volT(template.reshape(n * K, bs, bs, bs, 4), bs, 4)
+        fp_boxT = _flatten_volT(
+            template.reshape(n * K, bs, bs, bs, 4), bs, 4, pack
+        )
         fp_warpT = (
             None if warp is None
-            else _flatten_volT(warp.reshape(n * K, bs, bs, bs, 3), bs, 3)
+            else _flatten_volT(warp.reshape(n * K, bs, bs, bs, 3), bs, 3, pack)
         )
         scal, c_box, c_warp = _gather_and_pack(
             fp_pos, fp_rot, fp_scale, None if dma else fp_boxT, cand_gid,
@@ -1347,7 +1472,7 @@ def _make_raymarch(cfg_key):
         if dma:
             out_tiles = _forward_pallas_dma(
                 cand_gid, scal, t_o, t_d, t_mm, fp_boxT, fp_warpT,
-                {**cfg, "bs": bs}
+                {**cfg, "bs": bs, "pack": pack}
             )
         else:
             out_tiles = _forward_pallas(
@@ -1366,20 +1491,23 @@ def _make_raymarch(cfg_key):
         n, K = primpos.shape[0], primpos.shape[1]
         bs = template.shape[2]
         tile = cfg["tile"]
+        pack = _pack_factor(bs, K)
         fp_pos = jax.lax.stop_gradient(primpos).reshape(n * K, 3)
         fp_rot = jax.lax.stop_gradient(primrot).reshape(n * K, 9)
         fp_scale = jax.lax.stop_gradient(primscale).reshape(n * K, 3)
         fp_boxT = _flatten_volT(
-            jax.lax.stop_gradient(template).reshape(n * K, bs, bs, bs, 4), bs, 4
+            jax.lax.stop_gradient(template).reshape(n * K, bs, bs, bs, 4),
+            bs, 4, pack
         )
         fp_warpT = (
             None if warp is None
             else _flatten_volT(
-                jax.lax.stop_gradient(warp).reshape(n * K, bs, bs, bs, 3), bs, 3
+                jax.lax.stop_gradient(warp).reshape(n * K, bs, bs, bs, 3),
+                bs, 3, pack
             )
         )
         mh = cand_gid.shape[1]
-        dma = cfg["candidates"] == "dma"
+        dma = cfg["candidates"] == "dma" or pack > 1
         scal, c_box, c_warp = _gather_and_pack(
             fp_pos, fp_rot, fp_scale, None if dma else fp_boxT, cand_gid,
             cand_valid, cand_tstart, mh, bs, None if dma else fp_warpT
@@ -1404,29 +1532,42 @@ def _make_raymarch(cfg_key):
                 cand_valid[sl], cand_gid[sl] - b * K, -1
             ).astype(jnp.int32)
             if dma:
-                box_b = fp_boxT[b * K : (b + 1) * K]
-                warp_b = None if fp_warpT is None else fp_warpT[b * K : (b + 1) * K]
+                kr = K // pack  # table rows per batch item
+                box_b = fp_boxT[b * kr : (b + 1) * kr]
+                warp_b = None if fp_warpT is None else fp_warpT[b * kr : (b + 1) * kr]
             else:
                 box_b = c_box[sl]
                 warp_b = None if c_warp is None else c_warp[sl]
             gbox_b, gaff_b, gwarp_b = _backward_pallas(
                 gid_local, scal[sl], t_o[sl], t_d[sl], t_mm[sl], box_b,
-                warp_b, g_tiles[sl], K, {**cfg, "bs": bs}, dma=dma,
+                warp_b, g_tiles[sl], K, {**cfg, "bs": bs, "pack": pack},
+                dma=dma,
             )
             gboxes.append(gbox_b)
             gaffs.append(gaff_b)
             gwarps.append(gwarp_b)
-        gbox = jnp.stack(gboxes)  # [N, K, bs*4, BZY]
+        gbox = jnp.stack(gboxes)  # [N, K/pack, bs*4, BZY]
         gaff = jnp.stack(gaffs)  # [N, K, 8, 128]
 
-        d_template = gbox[:, :, :, : bs * bs].transpose(0, 1, 3, 2).reshape(
-            n, K, bs, bs, bs, 4
-        )
+        if pack > 1:
+            d_template = _unflatten_grad(
+                gbox.reshape(n * K // pack, bs * 4, 128), bs, 4, pack
+            ).reshape(n, K, bs, bs, bs, 4)
+        else:
+            d_template = gbox[:, :, :, : bs * bs].transpose(0, 1, 3, 2).reshape(
+                n, K, bs, bs, bs, 4
+            )
         d_warp = None
         if warp is not None:
-            d_warp = jnp.stack(gwarps)[:, :, :, : bs * bs].transpose(
-                0, 1, 3, 2
-            ).reshape(n, K, bs, bs, bs, 3)
+            gw = jnp.stack(gwarps)
+            if pack > 1:
+                d_warp = _unflatten_grad(
+                    gw.reshape(n * K // pack, bs * 3, 128), bs, 3, pack
+                ).reshape(n, K, bs, bs, bs, 3)
+            else:
+                d_warp = gw[:, :, :, : bs * bs].transpose(
+                    0, 1, 3, 2
+                ).reshape(n, K, bs, bs, bs, 3)
         dA = gaff[:, :, 0:3, 0:3]
         db = gaff[:, :, 3, 0:3]
         _, pack_vjp = jax.vjp(_pack_affine, primpos, primrot, primscale)

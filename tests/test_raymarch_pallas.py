@@ -298,3 +298,52 @@ def test_pallas_dma_candidates_match_gathered(warp):
         np.testing.assert_allclose(
             np.asarray(ga), np.asarray(gb), atol=1e-6, rtol=1e-5, err_msg=name
         )
+
+
+@pytest.mark.parametrize("warp", [False, True])
+def test_pallas_packed_small_primsize_matches_oracle(warp):
+    """bs=4 primitives pack P=128/bs^2=8 boxes per flat-table row (the kernel
+    extracts/scatters with one-hot matmuls) — the layout that keeps the HBM
+    tables dense for the reference's small-primsize branches
+    (reference: models/decoders/assembler.py:131-216). Output and all
+    gradients must match the oracle."""
+    from ava256_tpu.ops.raymarch_pallas import _pack_factor
+
+    assert _pack_factor(4, 8) == 8  # K=8 divides P -> packed path active
+    s = make_scene(N=1, H=17, W=17, k3=2, M=4, warp=warp)
+    maxsteps = int(np.ceil(s["tminmax"][..., 1].max() / s["stepsize"])) + 2
+    rp, rd, tmm = (jnp.asarray(s[k]) for k in ("raypos", "raydir", "tminmax"))
+    names = ("primpos", "primrot", "primscale", "template") + (
+        ("warp",) if warp else ()
+    )
+    prims = [jnp.asarray(s[k]) for k in names]
+
+    def loss_ref(*args):
+        wp = args[4] if warp else None
+        return jnp.sum(
+            mvp_raymarch_reference(
+                rp, rd, s["stepsize"], tmm, *args[:4], wp,
+                fadescale=6.5, fadeexp=8.0, max_steps=maxsteps,
+            )
+        )
+
+    def loss_pal(*args):
+        wp = args[4] if warp else None
+        return jnp.sum(
+            mvp_raymarch_pallas(
+                rp, rd, s["stepsize"], tmm, *args[:4], wp,
+                fadescale=6.5, fadeexp=8.0, interpret=True,
+                tile=8, max_hit=8, nbuf=64,
+            )
+        )
+
+    a = float(loss_ref(*prims))
+    b = float(loss_pal(*prims))
+    assert abs(a - b) / max(abs(a), 1e-6) < 1e-4, (a, b)
+    argnums = tuple(range(len(prims)))
+    g_ref = jax.grad(loss_ref, argnums=argnums)(*prims)
+    g_pal = jax.grad(loss_pal, argnums=argnums)(*prims)
+    for name, ga, gb in zip(names, g_ref, g_pal):
+        ga, gb = np.asarray(ga), np.asarray(gb)
+        dp = float((ga * gb).sum() / np.sqrt((ga * ga).sum() * (gb * gb).sum() + 1e-30))
+        assert dp > 0.9999, f"{name}: dp={dp}, maxdiff={np.abs(ga - gb).max()}"
