@@ -1016,10 +1016,14 @@ def _bwd_kernel(
     # out-of-range rows contribute exactly nothing downstream.
     R = rows
     rowoff = _rowoff(R, t2)
-    # padded-column consts: the dvol contraction then lands at the full
-    # BZY lane width of the dbox/dwarp accumulators
-    c4p = _col_consts(bs, 4, padded=True)
-    c3p = _col_consts(bs, 3, padded=True)
+    # Phase C samples with the UNPADDED consts (like the forward): the
+    # padded build ran every z-weight table and vol matmul at the full BZY
+    # width — 2x the contraction at bs=8 — only so dvolT landed at the
+    # accumulators' 128-lane width. A static lane-slice accumulate into
+    # dbox[:, :bs^2] costs nothing and halves the dominant phase-C matmuls.
+    # (Values are identical either way: the padded rows hold zero data, so
+    # they sample zero and their gradient lanes are dropped at unpack.)
+    nzy = bs * bs
 
     def relayout(bb, _):
         for r in range(R):
@@ -1057,7 +1061,7 @@ def _bwd_kernel(
                 oyv, dyv, tmin, tmax, tin, tout, seg, rrf, dt,
                 fadescale, fadeexp,
             )
-            sampleT, saved = _sample_chain(boxT, warpT, y0, y1, y2, half, c4p, c3p)
+            sampleT, saved = _sample_chain(boxT, warpT, y0, y1, y2, half, c4, c3)
             u = fade * dt * mask
             A_s = sampleT[3, :]
             cw = compw[blk0 + i]  # [2, W]; zero outside [rmin, rmax)
@@ -1075,11 +1079,11 @@ def _bwd_kernel(
 
             dST = jnp.stack([dS0, dS1, dS2, dS3], axis=0)  # [4, W]
             dboxT, dwarpT, dy0s, dy1s, dy2s = _sample_chain_bwd(
-                boxT, warpT, dST, saved, half, c4p, c3p
+                boxT, warpT, dST, saved, half, c4, c3
             )
-            dbox[...] += dboxT
+            dbox[:, 0:nzy] += dboxT
             if dowarp:
-                dwarp[...] += dwarpT
+                dwarp[:, 0:nzy] += dwarpT
             # fade path: dfade = g_u * dt * mask; dfade/dy = -fs*fe*|y|^(fe-1)*sign(y)*fade
             dfade = g_u * dt * mask
             c = -fadescale * fadeexp
