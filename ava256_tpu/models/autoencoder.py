@@ -63,6 +63,7 @@ class Autoencoder(nn.Module):
         force_neutral: bool = False,
         alpha_mask: Optional[jnp.ndarray] = None,
         deterministic: bool = False,
+        render: bool = True,
     ) -> Dict[str, Optional[jnp.ndarray]]:
         if neut_verts is None or neut_avgtex is None:
             raise ValueError("Empty identity conditioning data")
@@ -106,6 +107,7 @@ class Autoencoder(nn.Module):
                 residuals_weight=residuals_weight,
                 output_set=output_set,
                 alpha_mask=alpha_mask,
+                render=render,
             )
         )
         return result
@@ -128,6 +130,7 @@ class Autoencoder(nn.Module):
         residuals_weight: float = 1.0,
         output_set: FrozenSet[str] = frozenset(),
         alpha_mask: Optional[jnp.ndarray] = None,
+        render: bool = True,
     ) -> Dict[str, Optional[jnp.ndarray]]:
         # Model-relative viewing position: (campos - t) @ R
         viewpos = jnp.einsum(
@@ -168,6 +171,18 @@ class Autoencoder(nn.Module):
             ],
             axis=-1,
         )
+
+        if not render:
+            # Decode-only mode (static branch): everything up to — but not
+            # including — the raymarch, so profilers can attribute the
+            # forward as march vs model without a kernel-level trace.
+            return {
+                "irgbrec": None,
+                "verts": decout["verts"],
+                "template": decout["template"],
+                "primscale": decout["primscale"] if "primscale" in output_set else None,
+                "samplecoords": samplecoords if "samplecoords" in output_set else None,
+            }
 
         raypos, raydir, tminmax = compute_raydirs(
             campos, camrot, focal, princpt, pixelcoords, self.raymarcher.volume_radius

@@ -197,3 +197,36 @@ def test_assembler_tbn_block_slices_match_gradient_image():
 
     np.testing.assert_array_equal(np.asarray(du), np.asarray(du_ref))
     np.testing.assert_array_equal(np.asarray(dv), np.asarray(dv_ref))
+
+
+def test_autoencoder_render_false_skips_march():
+    """render=False returns the decoded template without running the
+    raymarcher (profiling attribution path: stepprof's fwd_norender)."""
+    from ava256_tpu.train.init import init_model
+    from ava256_tpu.train.step import BATCH_MODEL_KEYS
+    from __graft_entry__ import _build
+
+    model, mb, _ = _build(
+        texsize=64, nprims=1024, height=16, width=16, batch=2, nident=2,
+        ncams=2, raymarch_backend="xla",
+        raymarch_options={"tile": 8, "max_hit": 8, "max_samples": 16,
+                          "chunk_tiles": 4},
+    )
+    rng = jax.random.PRNGKey(0)
+    variables = init_model(model, rng, mb)
+
+    out = model.apply(
+        variables,
+        target_neut_avgtex=mb["neut_avgtex"],
+        target_neut_verts=mb["neut_verts"],
+        idindex=mb["idindex"],
+        camindex=mb["camindex"],
+        deterministic=True,
+        render=False,
+        **{k: mb[k] for k in BATCH_MODEL_KEYS},
+    )
+    assert out["irgbrec"] is None
+    tmpl = np.asarray(out["template"])
+    assert tmpl.shape[1] == 1024 and tmpl.shape[-1] == 4
+    assert np.isfinite(tmpl).all()
+    assert np.isfinite(np.asarray(out["verts"])).all()
