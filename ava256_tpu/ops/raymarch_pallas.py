@@ -526,7 +526,17 @@ def _sample_T(volT, fx, fy, fz, consts):
     [bs*nch, bs^2] @ [bs^2, W] MXU matmul plus an [nch, bs*nch] x-collapse
     matmul (W = T2 * rows when step rows are batched). The volume's padded
     BZY lanes are sliced off; zero-padding outside the volume (hat weights
-    vanish). Returns (sT [nch, W], saved-for-backward)."""
+    vanish). Returns (sT [nch, W], saved-for-backward).
+
+    Precision note (measured on v5e): XLA's DEFAULT matmul precision
+    truncates fp32 MXU operands to a single bfloat16 pass, and an explicit
+    bf16 cast of these operands produces bit-identical results — the
+    sampling matmuls already run at bf16 input rounding / fp32 accumulation
+    (the TPU analogue of the reference's -use_fast_math build,
+    extensions/mvpraymarch/setup.py:29). The oracle gradient parity
+    (kbench --verify dps >= 0.9997) is measured under exactly this
+    rounding, so there is no cheaper matmul dtype left on the table, and
+    no extra cost for fp32-typed operands either."""
     zsm, ysm, xcol, SxT = consts
     nz, bs = zsm.shape[0], ysm.shape[0]
     nzy = nz * bs
@@ -903,13 +913,13 @@ def _bwd_kernel(
             (fp_warp_ref, g_ref, _gb_in, _ga_in, _gw_in,
              gbox_out, gaff_out, gwarp_out,
              acc, comp, compw, dbuf, dafbuf, dwbuf, dbox, dafscr, dwarp,
-             stage_box, stage_aff, stage_warp, sems,
+             stage_box, stage_aff, stage_warp, sem_r, sem_w,
              boxbuf, sem_box, warpbuf, sem_warp) = rest
         else:
             (g_ref, _gb_in, _ga_in,
              gbox_out, gaff_out,
              acc, comp, compw, dbuf, dafbuf, dbox, dafscr,
-             stage_box, stage_aff, sems, boxbuf, sem_box) = rest
+             stage_box, stage_aff, sem_r, sem_w, boxbuf, sem_box) = rest
             fp_warp_ref = dwbuf = dwarp = stage_warp = gwarp_out = None
             warpbuf = sem_warp = None
         box_src = _box_src_dma(
@@ -922,12 +932,12 @@ def _bwd_kernel(
             (warps_ref, g_ref, _gb_in, _ga_in, _gw_in,
              gbox_out, gaff_out, gwarp_out,
              acc, comp, compw, dbuf, dafbuf, dwbuf, dbox, dafscr, dwarp,
-             stage_box, stage_aff, stage_warp, sems) = rest
+             stage_box, stage_aff, stage_warp, sem_r, sem_w) = rest
         else:
             (g_ref, _gb_in, _ga_in,
              gbox_out, gaff_out,
              acc, comp, compw, dbuf, dafbuf, dbox, dafscr,
-             stage_box, stage_aff, sems) = rest
+             stage_box, stage_aff, sem_r, sem_w) = rest
             warps_ref = dwbuf = dwarp = stage_warp = gwarp_out = None
         box_src = _box_src_gathered(boxes_ref, warps_ref)
     t2 = acc.shape[-1]  # untiled tile size; refs are lane-tiled to rows*t2
@@ -952,8 +962,8 @@ def _bwd_kernel(
     )
 
     if bwd_stop == 1:
-        stage_aff[0, 0:128] = acc[0, 3, 0:128]
-        cp = pltpu.make_async_copy(stage_aff, gaff_out.at[0], sems.at[1])
+        stage_aff[0, 0, 0:128] = acc[0, 3, 0:128]
+        cp = pltpu.make_async_copy(stage_aff.at[0], gaff_out.at[0], sem_w.at[1, 0])
         cp.start()
         cp.wait()
         return
@@ -999,8 +1009,8 @@ def _bwd_kernel(
     jax.lax.fori_loop(0, rmax - rmin, comp_rev, (zero, zero))
 
     if bwd_stop == 2:
-        stage_aff[0, 0:128] = comp[0, 1, 0:128]
-        cp = pltpu.make_async_copy(stage_aff, gaff_out.at[0], sems.at[1])
+        stage_aff[0, 0, 0:128] = comp[0, 1, 0:128]
+        cp = pltpu.make_async_copy(stage_aff.at[0], gaff_out.at[0], sem_w.at[1, 0])
         cp.start()
         cp.wait()
         return
@@ -1117,65 +1127,151 @@ def _bwd_kernel(
     box_flush(hh_stop)
 
     if bwd_stop == 3:
-        stage_aff[0, 0:128] = dbuf[0, 0, 0:128]
-        cp = pltpu.make_async_copy(stage_aff, gaff_out.at[0], sems.at[1])
+        stage_aff[0, 0, 0:128] = dbuf[0, 0, 0:128]
+        cp = pltpu.make_async_copy(stage_aff.at[0], gaff_out.at[0], sem_w.at[1, 0])
         cp.start()
         cp.wait()
         return
 
     # ---- drain: fold per-tile gradient buffers into the HBM accumulators ----
-    def drain(hh, _):
-        gid = gid_ref[tile_i, hh]
+    if pack == 1:
+        # Pipelined RMW: candidate hh+1's row reads are issued while hh's
+        # accumulate/write runs, and a write is only waited when its stage
+        # slot is reused two candidates later — the HBM round-trip latency
+        # hides behind the neighboring candidates' work instead of being
+        # paid serially per candidate. Safe because gids are distinct
+        # within a tile (top_k emits each prim at most once), so in-flight
+        # writes never alias the next read's rows; the end-of-loop waits
+        # order everything before the next tile touches shared rows (the
+        # grid is sequential, but Mosaic does not fence DMAs across
+        # iterations).
+        def gid_at(h):
+            return gid_ref[tile_i, jnp.clip(h, 0, max_hit - 1)]
 
-        @pl.when(gid >= 0)
+        def rmw_copies(h, p, sem):
+            g = jnp.maximum(gid_at(h), 0)
+            dirs = [(gbox_out.at[g], stage_box.at[p], 0),
+                    (gaff_out.at[g], stage_aff.at[p], 1)]
+            if dowarp:
+                dirs.append((gwarp_out.at[g], stage_warp.at[p], 2))
+            if sem is sem_w:  # writes go stage -> HBM
+                return [
+                    pltpu.make_async_copy(st, hbm, sem.at[i, p])
+                    for hbm, st, i in dirs
+                ]
+            return [
+                pltpu.make_async_copy(hbm, st, sem.at[i, p])
+                for hbm, st, i in dirs
+            ]
+
+        # hh_stop >= 1 is required, not just gid validity: an all-dead tile
+        # has hh_stop == 0 with a valid gid 0, and an issued-but-never-waited
+        # read would leave semaphore counts mispaired for the next grid step
+        @pl.when((hh_stop >= 1) & (gid_at(0) >= 0))
         def _():
-            # gbox/gwarp rows are P-packed (pack > 1): scatter the local
-            # gradient to the candidate's lane offset before the RMW. Two
-            # same-tile candidates sharing a packed row are safe — each
-            # iteration's write completes (cp2.wait) before the next read.
-            # gaff stays per-prim (its [8, 128] rows are never packed).
-            row = gid // pack if pack > 1 else gid
-            if pack > 1:
+            for c in rmw_copies(0, 0, sem_r):
+                c.start()
+
+        def drain(hh, _):
+            p = jax.lax.rem(hh, 2)
+            q = 1 - p
+
+            # slot q is candidate hh-1's; its writes must land before the
+            # slot (and, same-row-wise, nothing else) is reused for hh+1
+            @pl.when((hh >= 1) & (gid_at(hh - 1) >= 0))
+            def _():
+                for c in rmw_copies(hh - 1, q, sem_w):
+                    c.wait()
+
+            @pl.when((hh + 1 < hh_stop) & (gid_at(hh + 1) >= 0))
+            def _():
+                for c in rmw_copies(hh + 1, q, sem_r):
+                    c.start()
+
+            @pl.when(gid_at(hh) >= 0)
+            def _():
+                for c in rmw_copies(hh, p, sem_r):
+                    c.wait()
+                stage_box[p] += dbuf[hh]
+                stage_aff[p] += dafbuf[hh]
+                if dowarp:
+                    stage_warp[p] += dwbuf[hh]
+                for c in rmw_copies(hh, p, sem_w):
+                    c.start()
+
+            return 0
+
+        jax.lax.fori_loop(0, hh_stop, drain, 0)
+        # Exactly one write can still be in flight: candidate hh_stop-1's
+        # (iteration hh waits write hh-1, so all earlier ones were waited).
+
+        @pl.when((hh_stop >= 1) & (gid_at(hh_stop - 1) >= 0))
+        def _():
+            for c in rmw_copies(
+                hh_stop - 1, jax.lax.rem(hh_stop - 1, 2), sem_w
+            ):
+                c.wait()
+
+    else:
+        # Packed rows (pack > 1): two same-tile candidates may share a
+        # packed gbox/gwarp row, so the RMW stays strictly sequential —
+        # each iteration's write completes before the next read. gaff
+        # stays per-prim (its [8, 128] rows are never packed).
+        def drain(hh, _):
+            gid = gid_ref[tile_i, hh]
+
+            @pl.when(gid >= 0)
+            def _():
+                # scatter the local gradient to the candidate's lane
+                # offset inside its packed row before the RMW
+                row = gid // pack
                 S = _pack_scatter(jax.lax.rem(gid, pack) * (bs * bs), bs * bs)
                 dval = jax.lax.dot_general(
                     dbuf[hh], S, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-            else:
-                dval = dbuf[hh]
-            cp1 = pltpu.make_async_copy(gbox_out.at[row], stage_box, sems.at[0])
-            cp1.start()
-            cp3 = pltpu.make_async_copy(gaff_out.at[gid], stage_aff, sems.at[1])
-            cp3.start()
-            cp1.wait()
-            stage_box[...] += dval
-            cp2 = pltpu.make_async_copy(stage_box, gbox_out.at[row], sems.at[0])
-            cp2.start()
-            cp3.wait()
-            stage_aff[...] += dafbuf[hh]
-            cp2.wait()
-            cp4 = pltpu.make_async_copy(stage_aff, gaff_out.at[gid], sems.at[1])
-            cp4.start()
-            cp4.wait()
-            if dowarp:
-                if pack > 1:
+                cp1 = pltpu.make_async_copy(
+                    gbox_out.at[row], stage_box.at[0], sem_r.at[0, 0]
+                )
+                cp1.start()
+                cp3 = pltpu.make_async_copy(
+                    gaff_out.at[gid], stage_aff.at[0], sem_r.at[1, 0]
+                )
+                cp3.start()
+                cp1.wait()
+                stage_box[0] += dval
+                cp2 = pltpu.make_async_copy(
+                    stage_box.at[0], gbox_out.at[row], sem_w.at[0, 0]
+                )
+                cp2.start()
+                cp3.wait()
+                stage_aff[0] += dafbuf[hh]
+                cp2.wait()
+                cp4 = pltpu.make_async_copy(
+                    stage_aff.at[0], gaff_out.at[gid], sem_w.at[1, 0]
+                )
+                cp4.start()
+                cp4.wait()
+                if dowarp:
                     dw = jax.lax.dot_general(
                         dwbuf[hh], S, (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
-                else:
-                    dw = dwbuf[hh]
-                cp5 = pltpu.make_async_copy(gwarp_out.at[row], stage_warp, sems.at[0])
-                cp5.start()
-                cp5.wait()
-                stage_warp[...] += dw
-                cp6 = pltpu.make_async_copy(stage_warp, gwarp_out.at[row], sems.at[0])
-                cp6.start()
-                cp6.wait()
+                    cp5 = pltpu.make_async_copy(
+                        gwarp_out.at[row], stage_warp.at[0], sem_r.at[2, 0]
+                    )
+                    cp5.start()
+                    cp5.wait()
+                    stage_warp[0] += dw
+                    cp6 = pltpu.make_async_copy(
+                        stage_warp.at[0], gwarp_out.at[row], sem_w.at[2, 0]
+                    )
+                    cp6.start()
+                    cp6.wait()
 
-        return 0
+            return 0
 
-    jax.lax.fori_loop(0, hh_stop, drain, 0)
+        jax.lax.fori_loop(0, hh_stop, drain, 0)
 
 
 # ---------------------------------------------------------------------------
@@ -1378,11 +1474,13 @@ def _backward_pallas(gid_sp, scal, t_o, t_d, t_mm, c_box, c_warp, g_tiles, nk,
         scratch.append(pltpu.VMEM((8, 128), jnp.float32))  # dafscr
         if dowarp:
             scratch.append(pltpu.VMEM((bs * 3, _bzy(bs)), jnp.float32))  # dwarp
-        scratch.append(pltpu.VMEM((bs * 4, _bzy(bs)), jnp.float32))  # stage_box
-        scratch.append(pltpu.VMEM((8, 128), jnp.float32))  # stage_aff
+        # double-buffered RMW stages (slot axis 2) for the pipelined drain
+        scratch.append(pltpu.VMEM((2, bs * 4, _bzy(bs)), jnp.float32))  # stage_box
+        scratch.append(pltpu.VMEM((2, 8, 128), jnp.float32))  # stage_aff
         if dowarp:
-            scratch.append(pltpu.VMEM((bs * 3, _bzy(bs)), jnp.float32))  # stage_warp
-        scratch.append(pltpu.SemaphoreType.DMA((2,)))
+            scratch.append(pltpu.VMEM((2, bs * 3, _bzy(bs)), jnp.float32))
+        scratch.append(pltpu.SemaphoreType.DMA((3, 2)))  # sem_r [table, slot]
+        scratch.append(pltpu.SemaphoreType.DMA((3, 2)))  # sem_w
         if dma:
             scratch.append(pltpu.VMEM((2, bs * 4, _bzy(bs)), jnp.float32))  # boxbuf
             scratch.append(pltpu.SemaphoreType.DMA((2,)))  # sem_box
