@@ -864,38 +864,21 @@ def _fwd_kernel(
         max_hit=max_hit, nbuf=nbuf, bs=bs, rows=rows,
     )
 
-    # Saturating composite over the step rows, 8 rows per loop iteration:
-    # one [B, 4, t2] block read + unrolled in-register row math instead of
-    # nbuf tiny loop trips (the serial per-row loop's trip overhead was the
-    # dominant forward-kernel cost beyond the march itself). Block bases are
-    # aligned to B and nbuf is a multiple of 8 (_ceil_to at every call
-    # site), so the dynamic slice never reads past nbuf; rows outside
-    # [rmin, rmax) mask their density to zero, which makes contrib and
-    # scale exactly zero, so they contribute nothing. In-range rows see the
-    # identical per-lane op sequence as the serial loop — bit-exact.
-    B = 8 if nbuf % 8 == 0 else 1
-    rminb = (rmin // B) * B
-
-    def comp_blk(i, carry):
+    def comp_body(rr, carry):
         cum, rgb0, rgb1, rgb2 = carry
-        base = rminb + B * i
-        blk = acc[pl.ds(base, B)]  # [B, 4, t2]
-        for r in range(B):
-            ok = (base + r >= rmin) & (base + r < rmax)
-            a = jnp.where(ok, blk[r, 3, :], 0.0)
-            new = cum + a
-            contrib = jnp.minimum(new, 1.0) - jnp.minimum(cum, 1.0)
-            scale = contrib / jnp.maximum(a, 1e-12)
-            rgb0 = rgb0 + scale * blk[r, 0, :]
-            rgb1 = rgb1 + scale * blk[r, 1, :]
-            rgb2 = rgb2 + scale * blk[r, 2, :]
-            cum = new
-        return cum, rgb0, rgb1, rgb2
+        a = acc[rr, 3, :]
+        new = cum + a
+        contrib = jnp.minimum(new, 1.0) - jnp.minimum(cum, 1.0)
+        scale = contrib / jnp.maximum(a, 1e-12)
+        return (
+            new,
+            rgb0 + scale * acc[rr, 0, :],
+            rgb1 + scale * acc[rr, 1, :],
+            rgb2 + scale * acc[rr, 2, :],
+        )
 
     zero = jnp.zeros((t2,), jnp.float32)
-    cum, rgb0, rgb1, rgb2 = jax.lax.fori_loop(
-        0, (rmax - rminb + B - 1) // B, comp_blk, (zero,) * 4
-    )
+    cum, rgb0, rgb1, rgb2 = jax.lax.fori_loop(rmin, rmax, comp_body, (zero,) * 4)
     out_ref[0, 0, :] = rgb0
     out_ref[0, 1, :] = rgb1
     out_ref[0, 2, :] = rgb2
@@ -986,42 +969,19 @@ def _bwd_kernel(
         return
 
     # ---- phase B: composite cotangents per row ----
-    # Both scans run 8 rows per loop iteration with B-aligned block reads
-    # and writes (nbuf is a multiple of 8 at every call site, so aligned
-    # blocks never run past the buffer; the serial per-row loops' trip
-    # overhead was most of phase B). Rows outside [rmin, rmax) mask to
-    # no-ops: their comp values are written but never read (the phase-C
-    # relayout and the reverse scan both mask to the same interval), and
-    # they leave the carries untouched, so in-range rows see the identical
-    # per-lane op sequence as the serial formulation — bit-exact.
-    B = 8 if nbuf % 8 == 0 else 1
-    rminb = (rmin // B) * B
-    nblk = (rmax - rminb + B - 1) // B
-
     # forward scan: store contrib/a ("cscale") and post-row cumulative density
-    def comp_fwd(bb, carry):
+    def comp_fwd(rr, carry):
         cum, satrow = carry
-        base = rminb + B * bb
-        ablk = acc[pl.ds(base, B), 3, :]  # [B, t2]
-        row0, row1 = [], []
-        for r in range(B):
-            ok = (base + r >= rmin) & (base + r < rmax)
-            a = jnp.where(ok, ablk[r], 0.0)
-            new = cum + a
-            contrib = jnp.minimum(new, 1.0) - jnp.minimum(cum, 1.0)
-            row0.append(contrib / jnp.maximum(a, 1e-12))
-            row1.append(new)
-            satrow = jnp.where(
-                (cum < 1.0) & (new >= 1.0),
-                (base + r).astype(jnp.float32), satrow,
-            )
-            cum = new
-        comp[pl.ds(base, B), 0, :] = jnp.stack(row0)
-        comp[pl.ds(base, B), 1, :] = jnp.stack(row1)
-        return cum, satrow
+        a = acc[rr, 3, :]
+        new = cum + a
+        contrib = jnp.minimum(new, 1.0) - jnp.minimum(cum, 1.0)
+        comp[rr, 0, :] = contrib / jnp.maximum(a, 1e-12)
+        comp[rr, 1, :] = new
+        satrow = jnp.where((cum < 1.0) & (new >= 1.0), jnp.float32(rr), satrow)
+        return new, satrow
 
     cum_final, satrow = jax.lax.fori_loop(
-        0, nblk, comp_fwd,
+        rmin, rmax, comp_fwd,
         (jnp.zeros((t2,), jnp.float32), jnp.full((t2,), float(nbuf), jnp.float32)),
     )
     q_final = (cum_final < 1.0).astype(jnp.float32)
@@ -1033,35 +993,20 @@ def _bwd_kernel(
 
     # reverse scan: dL/da_r = -cscale_r * w_r + rev_r + g_a * q_final where
     # w_r = (g . c_r) / a_r and rev_r = sum_{p>=r} q_p (w_p - w_{p+1}).
-    # Blocked like the forward scan, iterating blocks (and rows within a
-    # block) back to front. Out-of-range rows read zero-initialized acc
-    # (w = 0, no NaN), keep their comp value, and leave the carries alone.
-    rmaxb = rminb + B * nblk  # aligned top; <= nbuf since nbuf % B == 0
-
     def comp_rev(i, carry):
         rev, w_next = carry
-        base = rmaxb - B * (i + 1)
-        ablk = acc[pl.ds(base, B)]   # [B, 4, t2]
-        cblk = comp[pl.ds(base, B)]  # [B, 2, t2]
-        out = [None] * B
-        for r in reversed(range(B)):
-            ok = (base + r >= rmin) & (base + r < rmax)
-            a = ablk[r, 3, :]
-            w = (g0 * ablk[r, 0, :] + g1 * ablk[r, 1, :] + g2 * ablk[r, 2, :]) / (
-                jnp.maximum(a, 1e-12)
-            )
-            q = (cblk[r, 1, :] < 1.0).astype(jnp.float32)
-            rev_n = rev + q * (w - w_next)
-            out[r] = jnp.where(
-                ok, -cblk[r, 0, :] * w + rev_n + g3 * q_final, cblk[r, 1, :]
-            )
-            rev = jnp.where(ok, rev_n, rev)
-            w_next = jnp.where(ok, w, w_next)
-        comp[pl.ds(base, B), 1, :] = jnp.stack(out)
-        return rev, w_next
+        rr = rmax - 1 - i
+        a = acc[rr, 3, :]
+        w = (g0 * acc[rr, 0, :] + g1 * acc[rr, 1, :] + g2 * acc[rr, 2, :]) / (
+            jnp.maximum(a, 1e-12)
+        )
+        q = (comp[rr, 1, :] < 1.0).astype(jnp.float32)
+        rev = rev + q * (w - w_next)
+        comp[rr, 1, :] = -comp[rr, 0, :] * w + rev + g3 * q_final
+        return rev, w
 
     zero = jnp.zeros((t2,), jnp.float32)
-    jax.lax.fori_loop(0, nblk, comp_rev, (zero, zero))
+    jax.lax.fori_loop(0, rmax - rmin, comp_rev, (zero, zero))
 
     if bwd_stop == 2:
         stage_aff[0, 0, 0:128] = comp[0, 1, 0:128]
