@@ -1,3 +1,8 @@
+# Copyright (c) ava256_tpu contributors.
+# All rights reserved.
+#
+# This source code is licensed under the license found in the
+# LICENSE file in the root directory of this source tree.
 """ava256_tpu — a TPU-native (JAX/XLA/Pallas) framework for training universal
 codec avatars with Mixtures of Volumetric Primitives (MVP).
 

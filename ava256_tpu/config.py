@@ -1,3 +1,8 @@
+# Copyright (c) ava256_tpu contributors.
+# All rights reserved.
+#
+# This source code is licensed under the license found in the
+# LICENSE file in the root directory of this source tree.
 """Config system: YAML files + dot-path CLI overrides.
 
 Mirrors the reference's fvcore-CfgNode usage (reference: ddp-train.py:592-595;

@@ -1,3 +1,8 @@
+# Copyright (c) ava256_tpu contributors.
+# All rights reserved.
+#
+# This source code is licensed under the license found in the
+# LICENSE file in the root directory of this source tree.
 """Device-resident conditioning tables: keep per-identity / per-camera /
 constant batch fields on the accelerator and gather them by index inside the
 jitted step, instead of shipping them from the host every iteration.

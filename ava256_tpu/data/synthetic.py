@@ -1,3 +1,8 @@
+# Copyright (c) ava256_tpu contributors.
+# All rights reserved.
+#
+# This source code is licensed under the license found in the
+# LICENSE file in the root directory of this source tree.
 """Synthetic capture data: deterministic random "subjects" with look-at
 cameras around a head-sized blob, rendered analytically so every camera
 sees the SAME scene.

@@ -1,3 +1,8 @@
+# Copyright (c) ava256_tpu contributors.
+# All rights reserved.
+#
+# This source code is licensed under the license found in the
+# LICENSE file in the root directory of this source tree.
 """Model factory: wires the full autoencoder from topology assets and dataset
 normalization statistics.
 
@@ -69,8 +74,9 @@ def get_autoencoder(
         primsize=primsize,
         dtype=dtype,
     )
+    rm_opts = dict(raymarch_options or {})
     raymarcher = Raymarcher(
-        volradius, dt=1.0, backend=raymarch_backend, **(raymarch_options or {})
+        volradius, dt=rm_opts.pop("dt", 1.0), backend=raymarch_backend, **rm_opts
     )
 
     # The background MLP runs at full image resolution with 256 channels;

@@ -1,3 +1,8 @@
+# Copyright (c) ava256_tpu contributors.
+# All rights reserved.
+#
+# This source code is licensed under the license found in the
+# LICENSE file in the root directory of this source tree.
 """Wavefront OBJ loading (host-side, numpy only).
 
 Capability parity with the reference loader (reference: utils.py:178-253);

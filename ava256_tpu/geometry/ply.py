@@ -1,3 +1,8 @@
+# Copyright (c) ava256_tpu contributors.
+# All rights reserved.
+#
+# This source code is licensed under the license found in the
+# LICENSE file in the root directory of this source tree.
 """Minimal, fast PLY vertex parsing (host-side, numpy only).
 
 The reference reads registration meshes with plyfile and then converts with a

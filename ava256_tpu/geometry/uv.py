@@ -1,3 +1,8 @@
+# Copyright (c) ava256_tpu contributors.
+# All rights reserved.
+#
+# This source code is licensed under the license found in the
+# LICENSE file in the root directory of this source tree.
 """UV-space barycentric maps (host-side, numpy + scipy).
 
 Builds, for every texel of a UV texture, the index of the closest UV triangle

@@ -1,3 +1,8 @@
+# Copyright (c) ava256_tpu contributors.
+# All rights reserved.
+#
+# This source code is licensed under the license found in the
+# LICENSE file in the root directory of this source tree.
 from ava256_tpu.models.autoencoder import Autoencoder
 from ava256_tpu.models.bottleneck import VAEBottleneck, kl_loss_stable
 from ava256_tpu.models.colorcal import Colorcal

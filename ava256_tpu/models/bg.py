@@ -1,3 +1,8 @@
+# Copyright (c) ava256_tpu contributors.
+# All rights reserved.
+#
+# This source code is licensed under the license found in the
+# LICENSE file in the root directory of this source tree.
 """Simple background model: per-camera and per-identity embeddings plus a
 sin/cos positional encoding of screen coordinates through a 1x1-conv MLP.
 

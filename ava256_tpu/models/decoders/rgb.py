@@ -1,3 +1,8 @@
+# Copyright (c) ava256_tpu contributors.
+# All rights reserved.
+#
+# This source code is licensed under the license found in the
+# LICENSE file in the root directory of this source tree.
 """RGB decoder: per-primitive color volumes with view conditioning.
 
 Same transposed-conv tower pattern as the geometry decoder; the input code is

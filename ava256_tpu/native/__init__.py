@@ -1,3 +1,8 @@
+# Copyright (c) ava256_tpu contributors.
+# All rights reserved.
+#
+# This source code is licensed under the license found in the
+# LICENSE file in the root directory of this source tree.
 """ctypes bindings for the native host-side data kernels (dataio.cpp).
 
 Build: ``python -m ava256_tpu.native.build`` (or make in this directory).

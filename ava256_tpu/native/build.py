@@ -1,3 +1,8 @@
+# Copyright (c) ava256_tpu contributors.
+# All rights reserved.
+#
+# This source code is licensed under the license found in the
+# LICENSE file in the root directory of this source tree.
 """Build the native data-IO library: python -m ava256_tpu.native.build"""
 
 from __future__ import annotations

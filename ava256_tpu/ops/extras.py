@@ -1,3 +1,8 @@
+# Copyright (c) ava256_tpu contributors.
+# All rights reserved.
+#
+# This source code is licensed under the license found in the
+# LICENSE file in the root directory of this source tree.
 """Auxiliary NN layers completing the reference's layer library
 (reference: models/utils.py:148-249,520-531): binomial-blur downsampling,
 dilation, coordinate-conditioned conv, NFNet weight standardization, and
@@ -6,7 +11,6 @@ weight-norm fusing for inference.
 
 from __future__ import annotations
 
-import math
 from typing import Any, Dict, Optional, Tuple, Union
 
 import numpy as np

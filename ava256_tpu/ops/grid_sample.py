@@ -1,3 +1,8 @@
+# Copyright (c) ava256_tpu contributors.
+# All rights reserved.
+#
+# This source code is licensed under the license found in the
+# LICENSE file in the root directory of this source tree.
 """2D grid sampling and bilinear resize (pure JAX, NHWC).
 
 Semantics match the samplers the reference model relies on:

@@ -1,3 +1,8 @@
+# Copyright (c) ava256_tpu contributors.
+# All rights reserved.
+#
+# This source code is licensed under the license found in the
+# LICENSE file in the root directory of this source tree.
 """Weight-normalized NN layers (Flax linen, NHWC, TPU-native).
 
 Re-implements the reference's layer library semantics (reference:

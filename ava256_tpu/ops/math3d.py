@@ -1,3 +1,8 @@
+# Copyright (c) ava256_tpu contributors.
+# All rights reserved.
+#
+# This source code is licensed under the license found in the
+# LICENSE file in the root directory of this source tree.
 """Small 3D math ops (rotation representations, normalization).
 
 Semantics match the reference's Rodrigues/Quaternion modules

@@ -1,3 +1,8 @@
+# Copyright (c) ava256_tpu contributors.
+# All rights reserved.
+#
+# This source code is licensed under the license found in the
+# LICENSE file in the root directory of this source tree.
 """Camera-ray generation (pure vectorized JAX; no kernel needed on TPU).
 
 TPU-native equivalent of the reference's CUDA extension

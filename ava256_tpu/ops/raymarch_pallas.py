@@ -1,3 +1,8 @@
+# Copyright (c) ava256_tpu contributors.
+# All rights reserved.
+#
+# This source code is licensed under the license found in the
+# LICENSE file in the root directory of this source tree.
 """Pallas TPU kernels for MVP raymarching (forward + custom-VJP backward).
 
 TPU-native replacement for the reference CUDA raymarcher's hot loop
@@ -977,7 +982,7 @@ def _bwd_kernel(
         contrib = jnp.minimum(new, 1.0) - jnp.minimum(cum, 1.0)
         comp[rr, 0, :] = contrib / jnp.maximum(a, 1e-12)
         comp[rr, 1, :] = new
-        satrow = jnp.where((cum < 1.0) & (new >= 1.0), jnp.float32(rr), satrow)
+        satrow = jnp.where((cum < 1.0) & (new >= 1.0), rr.astype(jnp.float32), satrow)
         return new, satrow
 
     cum_final, satrow = jax.lax.fori_loop(

@@ -1,3 +1,8 @@
+# Copyright (c) ava256_tpu contributors.
+# All rights reserved.
+#
+# This source code is licensed under the license found in the
+# LICENSE file in the root directory of this source tree.
 """Production MVP raymarcher: tile culling + per-ray sample compaction (XLA).
 
 The CUDA reference marches every ray step-by-step, using a per-warp BVH hit
@@ -16,8 +21,9 @@ of skipping work *during* the march we compact the work list *before* it:
    points (t = tmin + k*dt restricted to its intervals), globally sorted by t.
    Work is proportional to *useful* samples instead of cube-crossing steps.
    ``max_samples`` is a static budget: rays needing more drop their farthest
-   samples, and a runtime warning (jax.debug.print) reports how many rays
-   overflowed. On dense scenes prefer the pallas backend (no such budget) or
+   samples; ``on_overflow`` selects between a runtime warning ("warn") and
+   NaN-poisoning the output ("error", for configs that must never silently
+   truncate). On dense scenes prefer the pallas backend (no such budget) or
    raise ``max_samples``.
 4. **Evaluation + saturating scan** — each sample transforms into its
    primitive's frame, applies the border fade, trilinearly samples the RGBA
@@ -98,7 +104,7 @@ def _trilinear(
     jax.jit,
     static_argnames=(
         "stepsize", "fadescale", "fadeexp", "tile", "max_hit", "max_samples",
-        "chunk_tiles",
+        "chunk_tiles", "on_overflow",
     ),
 )
 def mvp_raymarch_xla(
@@ -117,6 +123,7 @@ def mvp_raymarch_xla(
     max_hit: int = 128,
     max_samples: int = 128,
     chunk_tiles: int = 64,
+    on_overflow: str = "warn",
 ) -> jnp.ndarray:
     n, h, w = raypos.shape[0], raypos.shape[1], raypos.shape[2]
     K = primpos.shape[1]
@@ -317,17 +324,28 @@ def mvp_raymarch_xla(
     # a visible (darker) artifact, so report it loudly rather than silently
     # truncating (the pallas backend has no such budget and is the
     # production path; this backend is the oracle-adjacent/debug path).
-    jax.lax.cond(
-        overflow > 0,
-        lambda c: jax.debug.print(
-            "WARNING mvp_raymarch_xla: {c} rays exceeded max_samples={ms}; "
-            "their farthest samples were dropped. Raise max_samples or use "
-            "the pallas backend.",
-            c=c, ms=max_samples, ordered=False,
-        ),
-        lambda c: None,
-        overflow,
-    )
+    # on_overflow="error" NaN-poisons the whole output instead — a pure
+    # device-side op that every platform supports (the axon TPU tunnel
+    # rejects host callbacks, so raising from jax.debug.callback is not an
+    # option there) and that no training/eval loop can miss: the loss goes
+    # NaN and the loop's finite-loss assertion fires.
+    if on_overflow not in ("warn", "error"):
+        raise ValueError(f"on_overflow must be 'warn' or 'error', got {on_overflow!r}")
+    if on_overflow == "error":
+        out = jnp.where(overflow > 0, jnp.float32(jnp.nan), out)
+    elif jax.default_backend() in ("cpu", "gpu", "tpu"):
+        # warn via debug.print where the platform supports host callbacks
+        jax.lax.cond(
+            overflow > 0,
+            lambda c: jax.debug.print(
+                "WARNING mvp_raymarch_xla: {c} rays exceeded max_samples={ms}; "
+                "their farthest samples were dropped. Raise max_samples or use "
+                "the pallas backend.",
+                c=c, ms=max_samples, ordered=False,
+            ),
+            lambda c: None,
+            overflow,
+        )
     out = out.reshape(ntp, tsz, 4)[:ntiles]
 
     # Un-tile and crop padding.

@@ -1,3 +1,8 @@
+# Copyright (c) ava256_tpu contributors.
+# All rights reserved.
+#
+# This source code is licensed under the license found in the
+# LICENSE file in the root directory of this source tree.
 """Single-volume step raymarcher (un-fused correctness baseline).
 
 Capability parity with the reference's pure-torch step raymarcher

@@ -1,3 +1,8 @@
+# Copyright (c) ava256_tpu contributors.
+# All rights reserved.
+#
+# This source code is licensed under the license found in the
+# LICENSE file in the root directory of this source tree.
 """Device meshes and shardings (SPMD over ICI).
 
 The reference's only distribution strategy is data parallelism via DDP/NCCL

@@ -1,3 +1,8 @@
+# Copyright (c) ava256_tpu contributors.
+# All rights reserved.
+#
+# This source code is licensed under the license found in the
+# LICENSE file in the root directory of this source tree.
 """Jitted model initialization helper.
 
 model.init traced eagerly executes op-by-op (very slow over a remote-device

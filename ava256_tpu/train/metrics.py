@@ -1,3 +1,8 @@
+# Copyright (c) ava256_tpu contributors.
+# All rights reserved.
+#
+# This source code is licensed under the license found in the
+# LICENSE file in the root directory of this source tree.
 """Image quality metrics (PSNR / SSIM) for evaluation and parity tracking.
 
 The reference publishes no fidelity numbers (BASELINE.md); parity is
@@ -95,6 +100,22 @@ def _lpips_filters(seed: int = 0):
     return filters
 
 
+def lpips_weights_path(weights_path: str | None = None) -> str | None:
+    """Resolve the trained-LPIPS weights file (.npz) if one is configured and
+    exists: the explicit argument wins, else the AVA256_LPIPS_WEIGHTS env
+    var. Returns None when the metric would fall back to random features —
+    callers MUST then report the value under the key ``lpips_rf``, never
+    ``lpips`` (random-feature distances are orders of magnitude smaller than
+    trained-AlexNet LPIPS and must not be compared against them). Produce the
+    .npz from the reference pip package with scripts/lpips_export.py."""
+    import os
+
+    weights_path = weights_path or os.environ.get("AVA256_LPIPS_WEIGHTS")
+    if weights_path and os.path.exists(weights_path):
+        return weights_path
+    return None
+
+
 def lpips(
     pred: jnp.ndarray,
     target: jnp.ndarray,
@@ -118,13 +139,11 @@ def lpips(
     comparable across runs of this codebase, but not against other stacks'
     LPIPS numbers.
     """
-    import os
-
     import numpy as np
 
-    weights_path = weights_path or os.environ.get("AVA256_LPIPS_WEIGHTS")
+    weights_path = lpips_weights_path(weights_path)
     lins = [None] * len(_LPIPS_LAYERS)
-    if weights_path and os.path.exists(weights_path):
+    if weights_path:
         data = np.load(weights_path)
         filters = [np.asarray(data[f"conv{i}"], np.float32) for i in range(5)]
         lins = [

@@ -1,3 +1,8 @@
+# Copyright (c) ava256_tpu contributors.
+# All rights reserved.
+#
+# This source code is licensed under the license found in the
+# LICENSE file in the root directory of this source tree.
 """Tracing and per-step timing (first-class, per SURVEY.md §5).
 
 The reference only wall-clocks iterations and dumps ``timesinfo_r{rank}.npy``

@@ -1,3 +1,8 @@
+# Copyright (c) ava256_tpu contributors.
+# All rights reserved.
+#
+# This source code is licensed under the license found in the
+# LICENSE file in the root directory of this source tree.
 """Train state: optimizer, LR schedule, checkpointing.
 
 Reference behaviors reproduced (reference: ddp-train.py:67-95,329-341,436-441,

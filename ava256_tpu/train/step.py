@@ -1,3 +1,8 @@
+# Copyright (c) ava256_tpu contributors.
+# All rights reserved.
+#
+# This source code is licensed under the license found in the
+# LICENSE file in the root directory of this source tree.
 """Jitted SPMD train step (data parallelism over the "data" mesh axis).
 
 The reference's hot loop (reference: ddp-train.py:362-567) is: forward ->

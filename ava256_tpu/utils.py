@@ -1,3 +1,8 @@
+# Copyright (c) ava256_tpu contributors.
+# All rights reserved.
+#
+# This source code is licensed under the license found in the
+# LICENSE file in the root directory of this source tree.
 """Misc framework utilities: image strips, logging helpers.
 
 Capability parity targets: render_img (reference: utils.py:387-406) and the

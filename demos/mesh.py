@@ -1,4 +1,9 @@
 #!/usr/bin/env python3
+# Copyright (c) ava256_tpu contributors.
+# All rights reserved.
+#
+# This source code is licensed under the license found in the
+# LICENSE file in the root directory of this source tree.
 """Visualize registration meshes from a capture: camera-image overlay and 3D
 scatter. Capability parity with the reference demo (reference: demos/mesh.py).
 
@@ -8,9 +13,6 @@ scatter. Capability parity with the reference demo (reference: demos/mesh.py).
 from __future__ import annotations
 
 import argparse
-import io
-import zipfile
-from pathlib import Path
 
 import numpy as np
 

@@ -1,4 +1,9 @@
 #!/usr/bin/env python3
+# Copyright (c) ava256_tpu contributors.
+# All rights reserved.
+#
+# This source code is licensed under the license found in the
+# LICENSE file in the root directory of this source tree.
 """Quantitative evaluation: reconstruction PSNR/SSIM over dataset items.
 
 The reference publishes no fidelity numbers and ships no eval script
@@ -26,7 +31,7 @@ from ava256_tpu.data.dataset import none_collate
 from ava256_tpu.factory import get_autoencoder
 from ava256_tpu.geometry import create_uv_baridx
 from ava256_tpu.train.init import init_model
-from ava256_tpu.train.metrics import lpips, psnr, ssim
+from ava256_tpu.train.metrics import lpips, lpips_weights_path, psnr, ssim
 from ava256_tpu.train.state import create_train_state, make_optimizer, restore_checkpoint
 from ava256_tpu.train.step import BATCH_MODEL_KEYS
 from ava256_tpu.utils import setup_logging
@@ -114,13 +119,18 @@ def main():
         lpipss.append(float(lpips(rec, mb["image"])))
         n_done += 1
 
+    # Trained-AlexNet weights report as "lpips"; the self-contained
+    # random-feature fallback reports as "lpips_rf" — its values are orders
+    # of magnitude smaller than trained LPIPS and must never be compared
+    # against other stacks' numbers (see metrics.lpips docstring).
+    lpips_key = "lpips" if lpips_weights_path() else "lpips_rf"
     result = {
         "metric": "reconstruction_quality",
         "split": "heldout_cameras" if args.holdout_cameras else "train",
         "items": n_done,
         "psnr_db": round(float(np.mean(psnrs)), 3),
         "ssim": round(float(np.mean(ssims)), 4),
-        "lpips": round(float(np.mean(lpipss)), 4),
+        lpips_key: round(float(np.mean(lpipss)), 6),
         "checkpoint_step": int(state.step),
     }
     print(json.dumps(result))

@@ -1,4 +1,9 @@
 #!/usr/bin/env python3
+# Copyright (c) ava256_tpu contributors.
+# All rights reserved.
+#
+# This source code is licensed under the license found in the
+# LICENSE file in the root directory of this source tree.
 """Dump cached identity conditioning for every subject.
 
 Capability parity with the reference tool (reference: generate_id_cond.py):

@@ -1,4 +1,9 @@
 #!/usr/bin/env python3
+# Copyright (c) ava256_tpu contributors.
+# All rights reserved.
+#
+# This source code is licensed under the license found in the
+# LICENSE file in the root directory of this source tree.
 """Render frames from a trained model: self-driven and cross-identity-driven.
 
 Capability parity with the reference renderer (reference: render.py:23-223):

@@ -1,4 +1,9 @@
 #!/usr/bin/env python3
+# Copyright (c) ava256_tpu contributors.
+# All rights reserved.
+#
+# This source code is licensed under the license found in the
+# LICENSE file in the root directory of this source tree.
 """Add (or check) license headers on all Python sources.
 
 Capability parity with the reference tool (reference: add_headers.py).
@@ -31,15 +36,15 @@ def main() -> int:
         if any(part.startswith(".") or part == "run" for part in path.parts):
             continue
         text = path.read_text()
-        if text.startswith(HEADER):
+        shebang = ""
+        body = text
+        if body.startswith("#!"):
+            nl = body.index("\n") + 1
+            shebang, body = body[:nl], body[nl:]
+        if body.startswith(HEADER):
             continue
         missing.append(path)
         if not args.check:
-            shebang = ""
-            body = text
-            if body.startswith("#!"):
-                nl = body.index("\n") + 1
-                shebang, body = body[:nl], body[nl:]
             path.write_text(shebang + HEADER + body)
 
     if args.check and missing:

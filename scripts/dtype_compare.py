@@ -1,4 +1,9 @@
 #!/usr/bin/env python3
+# Copyright (c) ava256_tpu contributors.
+# All rights reserved.
+#
+# This source code is licensed under the license found in the
+# LICENSE file in the root directory of this source tree.
 """Compare two flagship training logs (fp32 arm vs bf16 arm).
 
 Extracts per-iteration loss and step time plus the every-100-iter PSNR

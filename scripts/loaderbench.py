@@ -1,4 +1,9 @@
 #!/usr/bin/env python3
+# Copyright (c) ava256_tpu contributors.
+# All rights reserved.
+#
+# This source code is licensed under the license found in the
+# LICENSE file in the root directory of this source tree.
 """Input-pipeline throughput benchmark.
 
 Builds an on-disk capture fixture at the real dome resolution (4096x2668)

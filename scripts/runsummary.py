@@ -1,4 +1,9 @@
 #!/usr/bin/env python3
+# Copyright (c) ava256_tpu contributors.
+# All rights reserved.
+#
+# This source code is licensed under the license found in the
+# LICENSE file in the root directory of this source tree.
 """Summarize a training log: loss / per-term / PSNR / step-time curves.
 
 Reads the train.py log stream and prints a compact JSON with downsampled

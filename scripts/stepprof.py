@@ -1,4 +1,9 @@
 #!/usr/bin/env python3
+# Copyright (c) ava256_tpu contributors.
+# All rights reserved.
+#
+# This source code is licensed under the license found in the
+# LICENSE file in the root directory of this source tree.
 """Decompose the flagship train step: forward-only, loss, grad, optimizer.
 
 Prints one JSON line with per-stage seconds so the hot side (model vs

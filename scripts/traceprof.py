@@ -1,4 +1,9 @@
 #!/usr/bin/env python3
+# Copyright (c) ava256_tpu contributors.
+# All rights reserved.
+#
+# This source code is licensed under the license found in the
+# LICENSE file in the root directory of this source tree.
 """Per-op device-time profile of the flagship train step.
 
 Runs one steady-state train step under ``jax.profiler.trace`` and aggregates

@@ -1,3 +1,8 @@
+# Copyright (c) ava256_tpu contributors.
+# All rights reserved.
+#
+# This source code is licensed under the license found in the
+# LICENSE file in the root directory of this source tree.
 """Worker process for the 2-process jax.distributed smoke test.
 
 Launched by tests/test_multihost.py: each process owns 2 virtual CPU devices,

@@ -1,3 +1,8 @@
+# Copyright (c) ava256_tpu contributors.
+# All rights reserved.
+#
+# This source code is licensed under the license found in the
+# LICENSE file in the root directory of this source tree.
 """Test configuration: force CPU with 8 virtual devices so multi-chip
 sharding logic is exercised without TPU hardware (SURVEY.md §4)."""
 

@@ -1,3 +1,8 @@
+# Copyright (c) ava256_tpu contributors.
+# All rights reserved.
+#
+# This source code is licensed under the license found in the
+# LICENSE file in the root directory of this source tree.
 """Real-release format validation: an AVIF-encoded fixture capture in the
 exact ava-256 zip layout, loaded by BOTH our SingleCaptureDataset and the
 reference's own loader (/root/reference/data/ava_dataset.py:259-335), with

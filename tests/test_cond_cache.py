@@ -1,3 +1,8 @@
+# Copyright (c) ava256_tpu contributors.
+# All rights reserved.
+#
+# This source code is licensed under the license found in the
+# LICENSE file in the root directory of this source tree.
 """Device-resident conditioning tables (data/cond_cache.py): a lean batch
 expanded from tables must equal the full batch, on host and inside jit."""
 

@@ -1,16 +1,20 @@
+# Copyright (c) ava256_tpu contributors.
+# All rights reserved.
+#
+# This source code is licensed under the license found in the
+# LICENSE file in the root directory of this source tree.
 """Data pipeline: zip-archive capture datasets (on a generated fixture),
 synthetic dataset, sharded loader, collation, and the config system."""
 
 import io
 import json
 import zipfile
-from pathlib import Path
 
 import numpy as np
 import pytest
 from PIL import Image
 
-from ava256_tpu.config import Config, load_config
+from ava256_tpu.config import load_config
 from ava256_tpu.data import (
     MugsyCapture,
     MultiCaptureDataset,

@@ -1,7 +1,11 @@
+# Copyright (c) ava256_tpu contributors.
+# All rights reserved.
+#
+# This source code is licensed under the license found in the
+# LICENSE file in the root directory of this source tree.
 """Auxiliary ops: step raymarcher, blur/dilate layers, WN fusing, profiling."""
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp

@@ -1,10 +1,13 @@
+# Copyright (c) ava256_tpu contributors.
+# All rights reserved.
+#
+# This source code is licensed under the license found in the
+# LICENSE file in the root directory of this source tree.
 """Host-side geometry utilities: OBJ/PLY/KRT loaders and UV barycentric maps."""
 
-import io
 import json
 
 import numpy as np
-import pytest
 
 from ava256_tpu.geometry import (
     create_uv_baridx,

@@ -1,3 +1,8 @@
+# Copyright (c) ava256_tpu contributors.
+# All rights reserved.
+#
+# This source code is licensed under the license found in the
+# LICENSE file in the root directory of this source tree.
 """Model module shape contracts, ported one-for-one from the reference test
 suite (reference: tests/test_*_encoder.py, test_vae.py, test_*_decoder.py,
 test_decoder_assembler.py) — with NHWC layouts."""

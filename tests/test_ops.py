@@ -1,3 +1,8 @@
+# Copyright (c) ava256_tpu contributors.
+# All rights reserved.
+#
+# This source code is licensed under the license found in the
+# LICENSE file in the root directory of this source tree.
 """Core ops: WN layers (vs torch oracle), grid sampling (vs torch oracle),
 geometry maps, rodrigues, ray generation."""
 
@@ -8,7 +13,6 @@ import jax
 import jax.numpy as jnp
 
 from ava256_tpu.ops import (
-    LEAKY_GAIN,
     Conv2dWN,
     ConvTranspose2dWN,
     LinearWN,

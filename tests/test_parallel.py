@@ -1,3 +1,8 @@
+# Copyright (c) ava256_tpu contributors.
+# All rights reserved.
+#
+# This source code is licensed under the license found in the
+# LICENSE file in the root directory of this source tree.
 """SPMD: mesh construction, batch sharding, a full DP train step on a
 multi-device CPU mesh, and ray-sharded rendering."""
 

@@ -1,3 +1,8 @@
+# Copyright (c) ava256_tpu contributors.
+# All rights reserved.
+#
+# This source code is licensed under the license found in the
+# LICENSE file in the root directory of this source tree.
 """Raymarcher correctness: production XLA marcher vs the pure-JAX oracle.
 
 Port of the reference's gradcheck harness (reference: extensions/mvpraymarch/

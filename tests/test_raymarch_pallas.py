@@ -1,3 +1,8 @@
+# Copyright (c) ava256_tpu contributors.
+# All rights reserved.
+#
+# This source code is licensed under the license found in the
+# LICENSE file in the root directory of this source tree.
 """Pallas raymarch kernels vs the pure-JAX oracle (interpret mode on CPU).
 
 The same gradcheck contract as tests/test_raymarch.py, exercised against the

@@ -1,16 +1,19 @@
+# Copyright (c) ava256_tpu contributors.
+# All rights reserved.
+#
+# This source code is licensed under the license found in the
+# LICENSE file in the root directory of this source tree.
 """Training infrastructure: losses, optimizer schedule, checkpoint round-trip,
 metrics."""
 
 import numpy as np
 import pytest
 
-import jax
 import jax.numpy as jnp
 
-from ava256_tpu.train.losses import compute_losses, mean_ell_1, mean_ell_2
+from ava256_tpu.train.losses import compute_losses
 from ava256_tpu.train.metrics import psnr, ssim
 from ava256_tpu.train.state import (
-    TrainState,
     create_train_state,
     make_optimizer,
     restore_checkpoint,

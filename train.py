@@ -1,4 +1,9 @@
 #!/usr/bin/env python3
+# Copyright (c) ava256_tpu contributors.
+# All rights reserved.
+#
+# This source code is licensed under the license found in the
+# LICENSE file in the root directory of this source tree.
 """Train the universal codec avatar autoencoder (TPU-native).
 
 CLI/loop parity with the reference trainer (reference: ddp-train.py):
