@@ -919,12 +919,13 @@ def _bwd_kernel(
              gbox_out, gaff_out, gwarp_out,
              acc, comp, compw, dbuf, dafbuf, dwbuf, dbox, dafscr, dwarp,
              stage_box, stage_aff, stage_warp, sem_r, sem_w,
-             boxbuf, sem_box, warpbuf, sem_warp) = rest
+             boxbuf, sem_box, warpbuf, sem_warp, skipf) = rest
         else:
             (g_ref, _gb_in, _ga_in,
              gbox_out, gaff_out,
              acc, comp, compw, dbuf, dafbuf, dbox, dafscr,
-             stage_box, stage_aff, sem_r, sem_w, boxbuf, sem_box) = rest
+             stage_box, stage_aff, sem_r, sem_w, boxbuf, sem_box,
+             skipf) = rest
             fp_warp_ref = dwbuf = dwarp = stage_warp = gwarp_out = None
             warpbuf = sem_warp = None
         box_src = _box_src_dma(
@@ -937,12 +938,12 @@ def _bwd_kernel(
             (warps_ref, g_ref, _gb_in, _ga_in, _gw_in,
              gbox_out, gaff_out, gwarp_out,
              acc, comp, compw, dbuf, dafbuf, dwbuf, dbox, dafscr, dwarp,
-             stage_box, stage_aff, stage_warp, sem_r, sem_w) = rest
+             stage_box, stage_aff, stage_warp, sem_r, sem_w, skipf) = rest
         else:
             (g_ref, _gb_in, _ga_in,
              gbox_out, gaff_out,
              acc, comp, compw, dbuf, dafbuf, dbox, dafscr,
-             stage_box, stage_aff, sem_r, sem_w) = rest
+             stage_box, stage_aff, sem_r, sem_w, skipf) = rest
             warps_ref = dwbuf = dwarp = stage_warp = gwarp_out = None
         box_src = _box_src_gathered(boxes_ref, warps_ref)
     t2 = acc.shape[-1]  # untiled tile size; refs are lane-tiled to rows*t2
@@ -1064,10 +1065,22 @@ def _bwd_kernel(
         # align the batch base to R so each iteration maps to one compw block
         r0a = (jnp.maximum(r0i, rmin) // R) * R
         blk0 = r0a // R
-        dbox[...] = jnp.zeros_like(dbox)
-        dafscr[...] = jnp.zeros_like(dafscr)
-        if dowarp:
-            dwarp[...] = jnp.zeros_like(dwarp)
+        # Candidate skip: a candidate whose clamped row range is empty (its
+        # slab starts at/after the tile's last live saturation row, or it
+        # never intersects [rmin, rmax)) contributes exactly zero cotangent
+        # everywhere — skip its sampling loop AND its drain RMW round-trip.
+        # Phase A marches conservatively past saturation (8-row scan blocks
+        # + margins), so on dense scenes a tail of its candidates is dead
+        # here. The DMA fetch protocol stays unconditional (ordering).
+        live_c = r1i > r0a
+        skipf[hh] = live_c.astype(jnp.int32)
+
+        @pl.when(live_c)
+        def _():
+            dbox[...] = jnp.zeros_like(dbox)
+            dafscr[...] = jnp.zeros_like(dafscr)
+            if dowarp:
+                dwarp[...] = jnp.zeros_like(dwarp)
 
         def rows_body(i, _):
             base = r0a + R * i
@@ -1120,11 +1133,14 @@ def _bwd_kernel(
             )
             return 0
 
-        jax.lax.fori_loop(0, (r1i - r0a + R - 1) // R, rows_body, 0)
-        dbuf[hh] = dbox[...]
-        dafbuf[hh] = dafscr[...]
-        if dowarp:
-            dwbuf[hh] = dwarp[...]
+        @pl.when(live_c)
+        def _():
+            jax.lax.fori_loop(0, (r1i - r0a + R - 1) // R, rows_body, 0)
+            dbuf[hh] = dbox[...]
+            dafbuf[hh] = dafscr[...]
+            if dowarp:
+                dwbuf[hh] = dwarp[...]
+
         return 0
 
     box_start(jnp.int32(0))
@@ -1153,6 +1169,11 @@ def _bwd_kernel(
         def gid_at(h):
             return gid_ref[tile_i, jnp.clip(h, 0, max_hit - 1)]
 
+        def live_at(h):
+            # valid gid AND produced a nonzero gradient in phase C (skipped
+            # candidates have no dbuf entry and nothing to accumulate)
+            return (gid_at(h) >= 0) & (skipf[jnp.clip(h, 0, max_hit - 1)] > 0)
+
         def rmw_copies(h, p, sem):
             g = jnp.maximum(gid_at(h), 0)
             dirs = [(gbox_out.at[g], stage_box.at[p], 0),
@@ -1172,7 +1193,7 @@ def _bwd_kernel(
         # hh_stop >= 1 is required, not just gid validity: an all-dead tile
         # has hh_stop == 0 with a valid gid 0, and an issued-but-never-waited
         # read would leave semaphore counts mispaired for the next grid step
-        @pl.when((hh_stop >= 1) & (gid_at(0) >= 0))
+        @pl.when((hh_stop >= 1) & live_at(0))
         def _():
             for c in rmw_copies(0, 0, sem_r):
                 c.start()
@@ -1183,17 +1204,17 @@ def _bwd_kernel(
 
             # slot q is candidate hh-1's; its writes must land before the
             # slot (and, same-row-wise, nothing else) is reused for hh+1
-            @pl.when((hh >= 1) & (gid_at(hh - 1) >= 0))
+            @pl.when((hh >= 1) & live_at(hh - 1))
             def _():
                 for c in rmw_copies(hh - 1, q, sem_w):
                     c.wait()
 
-            @pl.when((hh + 1 < hh_stop) & (gid_at(hh + 1) >= 0))
+            @pl.when((hh + 1 < hh_stop) & live_at(hh + 1))
             def _():
                 for c in rmw_copies(hh + 1, q, sem_r):
                     c.start()
 
-            @pl.when(gid_at(hh) >= 0)
+            @pl.when(live_at(hh))
             def _():
                 for c in rmw_copies(hh, p, sem_r):
                     c.wait()
@@ -1210,7 +1231,7 @@ def _bwd_kernel(
         # Exactly one write can still be in flight: candidate hh_stop-1's
         # (iteration hh waits write hh-1, so all earlier ones were waited).
 
-        @pl.when((hh_stop >= 1) & (gid_at(hh_stop - 1) >= 0))
+        @pl.when((hh_stop >= 1) & live_at(hh_stop - 1))
         def _():
             for c in rmw_copies(
                 hh_stop - 1, jax.lax.rem(hh_stop - 1, 2), sem_w
@@ -1225,7 +1246,7 @@ def _bwd_kernel(
         def drain(hh, _):
             gid = gid_ref[tile_i, hh]
 
-            @pl.when(gid >= 0)
+            @pl.when((gid >= 0) & (skipf[hh] > 0))
             def _():
                 # scatter the local gradient to the candidate's lane
                 # offset inside its packed row before the RMW
@@ -1492,6 +1513,7 @@ def _backward_pallas(gid_sp, scal, t_o, t_d, t_mm, c_box, c_warp, g_tiles, nk,
             if dowarp:
                 scratch.append(pltpu.VMEM((2, bs * 3, _bzy(bs)), jnp.float32))
                 scratch.append(pltpu.SemaphoreType.DMA((2,)))  # sem_warp
+        scratch.append(pltpu.SMEM((mh,), jnp.int32))  # skipf (phase-C skip)
         # inputs: gid(0) scal(1) o(2) d(3) mm(4) box(5) [warp(6)] g gbox gaff [gwarp]
         base = 7 if dowarp else 6
         aliases = {base + 1: 0, base + 2: 1}
@@ -1759,11 +1781,16 @@ def _mvp_raymarch_pallas_jit(
     **_unused,
 ) -> jnp.ndarray:
     bs_check = template.shape[2]
-    if (bs_check**3 * 4) % 128 != 0 or _bzy(bs_check) % bs_check != 0:
+    if (
+        bs_check < 2
+        or (bs_check & (bs_check - 1)) != 0
+        or _bzy(bs_check) % bs_check != 0
+    ):
         raise ValueError(
-            "pallas backend needs primsize^3*4 divisible by 128 and "
-            f"ceil(primsize^2, 128) divisible by primsize, got {bs_check} "
-            "(use a power-of-two primsize)"
+            "pallas backend needs a power-of-two primsize >= 2 with "
+            f"ceil(primsize^2, 128) divisible by primsize, got {bs_check}. "
+            "bs=2 (the reference's 262,144-prim shape) through bs=8 (the "
+            "flagship) are oracle-tested."
         )
     if nbuf is None:
         # cover the [-1,1]^3 cube diagonal (raydirs clamps tminmax to it)

@@ -186,6 +186,15 @@ def main() -> None:
             return out["march_inputs"]
 
         mi = jax.block_until_ready(march_inputs(state.params, state.stats, mb))
+        # AVA256_BENCH_SAVE_MARCH=path.npz dumps the exact scoreboard march
+        # operands so kbench --scene can attribute/iterate on them offline.
+        save_march = os.environ.get("AVA256_BENCH_SAVE_MARCH")
+        if save_march:
+            dump = {k: np.asarray(v) for k, v in mi.items() if v is not None}
+            dump["stepsize"] = np.float32(model.raymarcher.dt)
+            dump["fadescale"] = np.float32(model.raymarcher.fadescale)
+            dump["fadeexp"] = np.float32(model.raymarcher.fadeexp)
+            np.savez(save_march, **dump)
         rm_opts = dict(model.raymarcher.options)
         rep, _ = measure_raymarch_arrays(
             mi["raypos"], mi["raydir"], float(model.raymarcher.dt), mi["tminmax"],

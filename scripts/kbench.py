@@ -175,8 +175,11 @@ def measure_raymarch_arrays(rp, rd, stepsize, tmm, pp, pr, ps, tpl,
 def measure_raymarch(batch=4, h=512, w=334, nprims=16384, steps=3, tile=16,
                      max_hit=64, seed=0, hbm_gbps=None, rows=4, boxsize=8,
                      two_stage=None, cull_max_groups=8, cull_group_size=256,
-                     candidates="dma", bwd_stop=4):
-    """Time the Pallas raymarch fwd/bwd on the synthetic shell scene."""
+                     candidates="dma", bwd_stop=4, mask_frac=0.0):
+    """Time the Pallas raymarch fwd/bwd on the synthetic shell scene.
+    mask_frac > 0 marks that fraction of primitives dead via prim_mask
+    (the alpha-mask culling path, reference models/autoencoder.py:214-228)
+    to measure the physical-culling speedup."""
     import jax.numpy as jnp
 
     s = make_flagship_scene(batch, h, w, nprims, boxsize=boxsize, seed=seed)
@@ -184,18 +187,36 @@ def measure_raymarch(batch=4, h=512, w=334, nprims=16384, steps=3, tile=16,
     pp, pr, ps, tpl = (
         jnp.asarray(s[k]) for k in ("primpos", "primrot", "primscale", "template")
     )
+    prim_mask = None
+    if mask_frac > 0.0:
+        mrng = np.random.RandomState(seed + 1)
+        prim_mask = jnp.asarray(
+            (mrng.rand(1, nprims) >= mask_frac).astype(np.float32).repeat(batch, 0)
+        )
     rep, (fwd, grad) = measure_raymarch_arrays(
         rp, rd, s["stepsize"], tmm, pp, pr, ps, tpl, steps=steps, tile=tile,
         max_hit=max_hit, hbm_gbps=hbm_gbps, rows=rows, two_stage=two_stage,
         cull_max_groups=cull_max_groups, cull_group_size=cull_group_size,
-        candidates=candidates, bwd_stop=bwd_stop,
+        candidates=candidates, bwd_stop=bwd_stop, prim_mask=prim_mask,
     )
     return rep, (fwd, grad, s, (rp, rd, tmm, pp, pr, ps, tpl))
+
+
+def load_scene_npz(path):
+    """March operands dumped by bench.py (AVA256_BENCH_SAVE_MARCH): the exact
+    scoreboard scene, for offline phase attribution and kernel iteration."""
+    data = np.load(path)
+    s = {k: data[k] for k in data.files}
+    s["stepsize"] = float(s["stepsize"])
+    return s
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--verify", action="store_true")
+    ap.add_argument("--scene", default=None,
+                    help="march-operand .npz from bench.py instead of the "
+                    "synthetic shell scene")
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--hw", default="512x334")
     ap.add_argument("--nprims", type=int, default=16384)
@@ -212,21 +233,44 @@ def main():
     ap.add_argument("--bwd-stop", type=int, default=4, choices=[1, 2, 3, 4],
                     help="truncate the backward kernel after phase A/B/C "
                     "(timing instrumentation; gradients are wrong below 4)")
+    ap.add_argument("--mask-frac", type=float, default=0.0,
+                    help="fraction of primitives marked dead via prim_mask "
+                    "(physical alpha-mask culling path)")
     args = ap.parse_args()
     h, w = map(int, args.hw.split("x"))
 
     import jax
     import jax.numpy as jnp
 
-    rep, (fwd, grad, s, arrays) = measure_raymarch(
-        args.batch, h, w, args.nprims, steps=args.steps, tile=args.tile,
-        max_hit=args.max_hit, seed=args.seed, rows=args.rows,
-        boxsize=args.boxsize,
-        two_stage={"auto": None, "on": True, "off": False}[args.two_stage],
-        cull_max_groups=args.cull_max_groups,
-        cull_group_size=args.cull_group_size,
-        candidates=args.candidates, bwd_stop=args.bwd_stop,
-    )
+    if args.scene:
+        s = load_scene_npz(args.scene)
+        rep, _ = measure_raymarch_arrays(
+            jnp.asarray(s["raypos"]), jnp.asarray(s["raydir"]), s["stepsize"],
+            jnp.asarray(s["tminmax"]), jnp.asarray(s["primpos"]),
+            jnp.asarray(s["primrot"]), jnp.asarray(s["primscale"]),
+            jnp.asarray(s["template"]),
+            warp=(jnp.asarray(s["warp"]) if "warp" in s else None),
+            steps=args.steps, tile=args.tile, max_hit=args.max_hit,
+            rows=args.rows,
+            two_stage={"auto": None, "on": True, "off": False}[args.two_stage],
+            cull_max_groups=args.cull_max_groups,
+            cull_group_size=args.cull_group_size,
+            fadescale=float(s.get("fadescale", 8.0)),
+            fadeexp=float(s.get("fadeexp", 8.0)),
+            candidates=args.candidates, bwd_stop=args.bwd_stop,
+        )
+        rep["scene"] = args.scene
+    else:
+        rep, (fwd, grad, s, arrays) = measure_raymarch(
+            args.batch, h, w, args.nprims, steps=args.steps, tile=args.tile,
+            max_hit=args.max_hit, seed=args.seed, rows=args.rows,
+            boxsize=args.boxsize,
+            two_stage={"auto": None, "on": True, "off": False}[args.two_stage],
+            cull_max_groups=args.cull_max_groups,
+            cull_group_size=args.cull_group_size,
+            candidates=args.candidates, bwd_stop=args.bwd_stop,
+            mask_frac=args.mask_frac,
+        )
     print(json.dumps(rep))
 
     if args.verify:

@@ -352,3 +352,100 @@ def test_pallas_packed_small_primsize_matches_oracle(warp):
         ga, gb = np.asarray(ga), np.asarray(gb)
         dp = float((ga * gb).sum() / np.sqrt((ga * ga).sum() * (gb * gb).sum() + 1e-30))
         assert dp > 0.9999, f"{name}: dp={dp}, maxdiff={np.abs(ga - gb).max()}"
+
+
+def test_pallas_prim_mask_culls_physically():
+    """prim_mask semantics (reference: models/autoencoder.py:214-228 drops
+    alpha-masked prims to shrink the march): masking a primitive must (a)
+    render the same image as zeroing that primitive's alpha channel, and
+    (b) physically remove its candidates from the march work list."""
+    from ava256_tpu.ops.raymarch_pallas import _tile_and_cull
+
+    s = make_scene(N=1, H=17, W=17, k3=3, M=8, seed=7)
+    rp, rd, tmm = (jnp.asarray(s[k]) for k in ("raypos", "raydir", "tminmax"))
+    pp, pr, ps, tpl = (
+        jnp.asarray(s[k]) for k in ("primpos", "primrot", "primscale", "template")
+    )
+    K = pp.shape[1]
+    rng = np.random.RandomState(0)
+    mask = (rng.rand(1, K) > 0.5).astype(np.float32)
+
+    def march(template, prim_mask):
+        return mvp_raymarch_pallas(
+            rp, rd, s["stepsize"], tmm, pp, pr, ps, template, None,
+            prim_mask=prim_mask, fadescale=6.5, fadeexp=8.0,
+            tile=8, max_hit=32, nbuf=64, interpret=True,
+        )
+
+    # (a) image equality: culled-by-mask == alpha-zeroed-but-marched
+    tpl_zeroed = np.asarray(tpl).copy()
+    tpl_zeroed[:, mask[0] < 0.5, ..., 3] = 0.0
+    out_masked = np.asarray(march(tpl, jnp.asarray(mask)))
+    out_zeroed = np.asarray(march(jnp.asarray(tpl_zeroed), None))
+    np.testing.assert_allclose(out_masked, out_zeroed, atol=1e-5)
+
+    # (b) the cull physically drops masked candidates
+    def count_candidates(m):
+        *_, cand_valid, _, _ = _tile_and_cull(
+            rp, rd, tmm, pp, ps, jnp.asarray(m), 8, 32, s["stepsize"]
+        )
+        return int(jnp.sum(cand_valid))
+
+    n_all = count_candidates(np.ones((1, K), np.float32))
+    n_masked = count_candidates(mask)
+    assert n_masked < n_all, (n_masked, n_all)
+    # gradients must not leak through masked prims' templates
+    def loss_masked(tpl):
+        return jnp.sum(march(tpl, jnp.asarray(mask)))
+
+    g = np.asarray(jax.grad(loss_masked)(tpl))
+    assert np.abs(g[:, mask[0] < 0.5]).max() == 0.0
+    assert np.abs(g[:, mask[0] > 0.5]).max() > 0.0
+
+
+@pytest.mark.parametrize("packed", [False, True])
+def test_pallas_bs2_matches_oracle(packed):
+    """primsize 2 — the shape the reference's 262,144-prim branch decodes
+    (nh=512 grid x primsize 2 = 1024^2 slab; reference:
+    models/decoders/assembler.py:211-214). Packed (K % 32 == 0 -> P=32
+    boxes/row) and unpacked flat tables, output + gradients vs the oracle."""
+    from ava256_tpu.ops.raymarch_pallas import _pack_factor
+
+    k3 = 4 if packed else 2  # 64 prims packs P=32; 8 prims stays unpacked
+    assert _pack_factor(2, k3**3) == (32 if packed else 1)
+    s = make_scene(N=1, H=17, W=17, k3=k3, M=2)
+    maxsteps = int(np.ceil(s["tminmax"][..., 1].max() / s["stepsize"])) + 2
+    rp, rd, tmm = (jnp.asarray(s[k]) for k in ("raypos", "raydir", "tminmax"))
+    prims = [jnp.asarray(s[k]) for k in ("primpos", "primrot", "primscale", "template")]
+
+    def loss_ref(pp, pr, ps, tpl):
+        return jnp.sum(
+            mvp_raymarch_reference(
+                rp, rd, s["stepsize"], tmm, pp, pr, ps, tpl, None,
+                fadescale=6.5, fadeexp=8.0, max_steps=maxsteps,
+                # 64 overlapping prims cover every step row; the kernel's
+                # within-step ordering is the summed family member
+                within_step="summed",
+            )
+        )
+
+    def loss_pal(pp, pr, ps, tpl):
+        return jnp.sum(
+            mvp_raymarch_pallas(
+                rp, rd, s["stepsize"], tmm, pp, pr, ps, tpl, None,
+                fadescale=6.5, fadeexp=8.0, interpret=True,
+                # max_hit must cover K: every scene prim is a huge
+                # overlapping sphere here, so any tile can hit all of them
+                tile=8, max_hit=max(16, k3**3), nbuf=64,
+            )
+        )
+
+    a = float(loss_ref(*prims))
+    b = float(loss_pal(*prims))
+    assert abs(a - b) / max(abs(a), 1e-6) < 1e-4, (a, b)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(*prims)
+    g_pal = jax.grad(loss_pal, argnums=(0, 1, 2, 3))(*prims)
+    for name, ga, gb in zip(("primpos", "primrot", "primscale", "template"), g_ref, g_pal):
+        ga, gb = np.asarray(ga), np.asarray(gb)
+        dp = float((ga * gb).sum() / np.sqrt((ga * ga).sum() * (gb * gb).sum() + 1e-30))
+        assert dp > 0.9999, f"{name}: dp={dp}, maxdiff={np.abs(ga - gb).max()}"
