@@ -831,7 +831,12 @@ def _phase_march(
 def _fwd_kernel(
     *refs,
     dt, fadescale, fadeexp, max_hit, nbuf, bs, dowarp, rows, dma, pack=1,
+    fwd_stop=2,
 ):
+    """``fwd_stop`` mirrors the backward kernel's bwd_stop timing
+    instrumentation (kbench --fwd-stop): 1 truncates after the march (the
+    composite is replaced by a data-dependent probe so the march cannot be
+    dead-coded; the OUTPUT IS WRONG), 2 is the full kernel."""
     if dma:
         gid_ref, scal_ref, o_ref, d_ref, mm_ref, fp_box_ref, *rest = refs
         if dowarp:
@@ -868,6 +873,11 @@ def _fwd_kernel(
         dt=dt, fadescale=fadescale, fadeexp=fadeexp,
         max_hit=max_hit, nbuf=nbuf, bs=bs, rows=rows,
     )
+
+    if fwd_stop == 1:
+        probe = acc[jnp.minimum(rmin, nbuf - 1), :, :]
+        out_ref[0, :, :] = probe
+        return
 
     def comp_body(rr, carry):
         cum, rgb0, rgb1, rgb2 = carry
@@ -919,13 +929,13 @@ def _bwd_kernel(
              gbox_out, gaff_out, gwarp_out,
              acc, comp, compw, dbuf, dafbuf, dwbuf, dbox, dafscr, dwarp,
              stage_box, stage_aff, stage_warp, sem_r, sem_w,
-             boxbuf, sem_box, warpbuf, sem_warp, skipf) = rest
+             boxbuf, sem_box, warpbuf, sem_warp, skipf, dafw) = rest
         else:
             (g_ref, _gb_in, _ga_in,
              gbox_out, gaff_out,
              acc, comp, compw, dbuf, dafbuf, dbox, dafscr,
              stage_box, stage_aff, sem_r, sem_w, boxbuf, sem_box,
-             skipf) = rest
+             skipf, dafw) = rest
             fp_warp_ref = dwbuf = dwarp = stage_warp = gwarp_out = None
             warpbuf = sem_warp = None
         box_src = _box_src_dma(
@@ -938,12 +948,13 @@ def _bwd_kernel(
             (warps_ref, g_ref, _gb_in, _ga_in, _gw_in,
              gbox_out, gaff_out, gwarp_out,
              acc, comp, compw, dbuf, dafbuf, dwbuf, dbox, dafscr, dwarp,
-             stage_box, stage_aff, stage_warp, sem_r, sem_w, skipf) = rest
+             stage_box, stage_aff, stage_warp, sem_r, sem_w, skipf,
+             dafw) = rest
         else:
             (g_ref, _gb_in, _ga_in,
              gbox_out, gaff_out,
              acc, comp, compw, dbuf, dafbuf, dbox, dafscr,
-             stage_box, stage_aff, sem_r, sem_w, skipf) = rest
+             stage_box, stage_aff, sem_r, sem_w, skipf, dafw) = rest
             warps_ref = dwbuf = dwarp = stage_warp = gwarp_out = None
         box_src = _box_src_gathered(boxes_ref, warps_ref)
     t2 = acc.shape[-1]  # untiled tile size; refs are lane-tiled to rows*t2
@@ -1078,7 +1089,7 @@ def _bwd_kernel(
         @pl.when(live_c)
         def _():
             dbox[...] = jnp.zeros_like(dbox)
-            dafscr[...] = jnp.zeros_like(dafscr)
+            dafw[...] = jnp.zeros_like(dafw)
             if dowarp:
                 dwarp[...] = jnp.zeros_like(dwarp)
 
@@ -1119,23 +1130,33 @@ def _bwd_kernel(
             dy1 = dy1s + dfade * fade * c * _pow_abs(y1, fadeexp - 1) * jnp.sign(y1)
             dy2 = dy2s + dfade * fade * c * _pow_abs(y2, fadeexp - 1) * jnp.sign(y2)
 
-            # affine gradient: y = pos @ A + b; dA += pos^T dy, db += sum(dy),
-            # via an augmented [4, W] position against [3, W] cotangents
-            # (the W contraction also sums the R batched rows).
+            # affine gradient: y = pos @ A + b; dA += pos^T dy, db += sum(dy).
+            # Accumulated as 12 elementwise FMA rows (dafw[i*3+j] +=
+            # pos4_i * dy_j) instead of a [4, W] @ [W, 3] dot_general: that
+            # matmul runs a full W-length MXU contraction for a 3-lane
+            # output every row batch — the single worst matmul shape in
+            # phase C. The W reduction happens once per candidate below.
             pos4 = jnp.stack(
                 [ox + dx * t, oy + dy * t, oz + dz * t, jnp.ones_like(t)],
                 axis=0,
             )
             dyT = jnp.stack([dy0, dy1, dy2], axis=0)
-            dafscr[0:4, 0:3] += jax.lax.dot_general(
-                pos4, dyT, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            w = pos4.shape[-1]
+            rep_pos = jnp.broadcast_to(pos4[:, None, :], (4, 3, w)).reshape(12, w)
+            rep_dy = jnp.broadcast_to(dyT[None, :, :], (4, 3, w)).reshape(12, w)
+            dafw[0:12] += rep_pos * rep_dy
             return 0
 
         @pl.when(live_c)
         def _():
             jax.lax.fori_loop(0, (r1i - r0a + R - 1) // R, rows_body, 0)
+            # fold the per-lane affine partials down to [16, 128]
+            # (sublane-grouped sum over W/128 lane blocks — fully aligned
+            # stores; Mosaic cannot store scalars to VMEM). The final
+            # 128-lane reduction happens host-side in XLA after the drain
+            # (_bwd_impl sums gaff's lane axis).
+            w = dafw.shape[-1]
+            dafscr[...] = jnp.sum(dafw[...].reshape(16, w // 128, 128), axis=1)
             dbuf[hh] = dbox[...]
             dafbuf[hh] = dafscr[...]
             if dowarp:
@@ -1320,7 +1341,7 @@ def _forward_pallas(scal, t_o, t_d, t_mm, c_box, c_warp, cfg):
     kernel = partial(
         _fwd_kernel, dt=cfg["dt"], fadescale=cfg["fadescale"],
         fadeexp=cfg["fadeexp"], max_hit=mh, nbuf=cfg["nbuf"], bs=bs,
-        dowarp=dowarp, rows=R, dma=False,
+        dowarp=dowarp, rows=R, dma=False, fwd_stop=cfg.get("fwd_stop", 2),
     )
     # lane-tile the per-ray vectors R times so the kernel marches R step
     # rows per iteration as one W = R*tsz wide register (Mosaic cannot
@@ -1365,6 +1386,7 @@ def _forward_pallas_dma(gid_sp, scal, t_o, t_d, t_mm, fp_boxT, fp_warpT, cfg):
         _fwd_kernel, dt=cfg["dt"], fadescale=cfg["fadescale"],
         fadeexp=cfg["fadeexp"], max_hit=mh, nbuf=cfg["nbuf"], bs=bs,
         dowarp=dowarp, rows=R, dma=True, pack=cfg.get("pack", 1),
+        fwd_stop=cfg.get("fwd_stop", 2),
     )
     t_o, t_d, t_mm = (jnp.tile(x, (1, 1, R)) for x in (t_o, t_d, t_mm))
     chunk = max(1, min(ntiles, (256 * 1024) // (mh * 4)))
@@ -1440,7 +1462,7 @@ def _backward_pallas(gid_sp, scal, t_o, t_d, t_mm, c_box, c_warp, g_tiles, nk,
     )
     nk_rows = nk // pack  # packed tables carry P boxes per row
     gbox = jnp.zeros((nk_rows, bs * 4, _bzy(bs)), jnp.float32)
-    gaff = jnp.zeros((nk, 8, 128), jnp.float32)
+    gaff = jnp.zeros((nk, 16, 128), jnp.float32)
     gwarp = (
         jnp.zeros((nk_rows, bs * 3, _bzy(bs)), jnp.float32) if dowarp else None
     )
@@ -1480,14 +1502,14 @@ def _backward_pallas(gid_sp, scal, t_o, t_d, t_mm, c_box, c_warp, g_tiles, nk,
         ]
         out_shape = [
             jax.ShapeDtypeStruct((nk_rows, bs * 4, _bzy(bs)), jnp.float32),
-            jax.ShapeDtypeStruct((nk, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nk, 16, 128), jnp.float32),
         ]
         scratch = [
             pltpu.VMEM((nbuf, 4, tsz), jnp.float32),  # acc
             pltpu.VMEM((nbuf, 2, tsz), jnp.float32),  # comp (cscale, da)
             pltpu.VMEM((-(-nbuf // R), 2, R * tsz), jnp.float32),  # compw
             pltpu.VMEM((mh, bs * 4, _bzy(bs)), jnp.float32),  # dbuf
-            pltpu.VMEM((mh, 8, 128), jnp.float32),  # dafbuf
+            pltpu.VMEM((mh, 16, 128), jnp.float32),  # dafbuf
         ]
         if dowarp:
             in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))  # gwarp acc
@@ -1497,12 +1519,12 @@ def _backward_pallas(gid_sp, scal, t_o, t_d, t_mm, c_box, c_warp, g_tiles, nk,
             )
             scratch.append(pltpu.VMEM((mh, bs * 3, _bzy(bs)), jnp.float32))  # dwbuf
         scratch.append(pltpu.VMEM((bs * 4, _bzy(bs)), jnp.float32))  # dbox
-        scratch.append(pltpu.VMEM((8, 128), jnp.float32))  # dafscr
+        scratch.append(pltpu.VMEM((16, 128), jnp.float32))  # dafscr
         if dowarp:
             scratch.append(pltpu.VMEM((bs * 3, _bzy(bs)), jnp.float32))  # dwarp
         # double-buffered RMW stages (slot axis 2) for the pipelined drain
         scratch.append(pltpu.VMEM((2, bs * 4, _bzy(bs)), jnp.float32))  # stage_box
-        scratch.append(pltpu.VMEM((2, 8, 128), jnp.float32))  # stage_aff
+        scratch.append(pltpu.VMEM((2, 16, 128), jnp.float32))  # stage_aff
         if dowarp:
             scratch.append(pltpu.VMEM((2, bs * 3, _bzy(bs)), jnp.float32))
         scratch.append(pltpu.SemaphoreType.DMA((3, 2)))  # sem_r [table, slot]
@@ -1514,6 +1536,12 @@ def _backward_pallas(gid_sp, scal, t_o, t_d, t_mm, c_box, c_warp, g_tiles, nk,
                 scratch.append(pltpu.VMEM((2, bs * 3, _bzy(bs)), jnp.float32))
                 scratch.append(pltpu.SemaphoreType.DMA((2,)))  # sem_warp
         scratch.append(pltpu.SMEM((mh,), jnp.int32))  # skipf (phase-C skip)
+        # per-candidate affine-gradient partials [12, W]: the A/b cotangent
+        # accumulates as elementwise FMAs instead of a [4, W] @ [W, 3]
+        # matmul per row batch (a full W-length MXU contraction for a
+        # 3-lane output — the worst shape in phase C); reduced across W
+        # once per candidate.
+        scratch.append(pltpu.VMEM((16, R * tsz), jnp.float32))  # dafw
         # inputs: gid(0) scal(1) o(2) d(3) mm(4) box(5) [warp(6)] g gbox gaff [gwarp]
         base = 7 if dowarp else 6
         aliases = {base + 1: 0, base + 2: 1}
@@ -1697,8 +1725,13 @@ def _make_raymarch(cfg_key):
                 d_warp = gw[:, :, :, : bs * bs].transpose(
                     0, 1, 3, 2
                 ).reshape(n, K, bs, bs, bs, 3)
-        dA = gaff[:, :, 0:3, 0:3]
-        db = gaff[:, :, 3, 0:3]
+        # gaff rows hold the 12 affine cotangents as 128 per-lane partials
+        # (row i*3+j = dA[i][j] for i<3, rows 9:12 = db); the kernel's
+        # reduction stops at the lane level (aligned VMEM stores only), so
+        # the final lane sum happens here in XLA.
+        aff12 = jnp.sum(gaff, axis=-1)  # [N, K, 16]
+        dA = aff12[..., 0:9].reshape(gaff.shape[0], gaff.shape[1], 3, 3)
+        db = aff12[..., 9:12]
         _, pack_vjp = jax.vjp(_pack_affine, primpos, primrot, primscale)
         d_pos, d_rot, d_scale = pack_vjp((dA, db))
         zeros_ray = (
@@ -1752,7 +1785,7 @@ def mvp_raymarch_pallas(*args, interpret=None, **kwargs):
     static_argnames=(
         "stepsize", "fadescale", "fadeexp", "tile", "max_hit", "nbuf",
         "interpret", "rows", "cull_group_size", "cull_max_groups",
-        "two_stage_cull", "candidates", "bwd_stop",
+        "two_stage_cull", "candidates", "bwd_stop", "fwd_stop",
     ),
 )
 def _mvp_raymarch_pallas_jit(
@@ -1778,6 +1811,7 @@ def _mvp_raymarch_pallas_jit(
     two_stage_cull: Optional[bool] = None,
     candidates: str = "dma",
     bwd_stop: int = 4,
+    fwd_stop: int = 2,
     **_unused,
 ) -> jnp.ndarray:
     bs_check = template.shape[2]
@@ -1820,6 +1854,7 @@ def _mvp_raymarch_pallas_jit(
                 ),
                 candidates=str(candidates),
                 bwd_stop=int(bwd_stop),
+                fwd_stop=int(fwd_stop),
             ).items()
         )
     )

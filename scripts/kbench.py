@@ -86,7 +86,7 @@ def measure_raymarch_arrays(rp, rd, stepsize, tmm, pp, pr, ps, tpl,
                             max_hit=64, hbm_gbps=None, rows=4, two_stage=None,
                             cull_max_groups=8, cull_group_size=256,
                             fadescale=8.0, fadeexp=8.0, candidates="dma",
-                            bwd_stop=4):
+                            bwd_stop=4, fwd_stop=2):
     """Time the Pallas raymarch fwd/bwd on the GIVEN kernel operands and
     derive the HBM speed-of-light fraction.
 
@@ -104,7 +104,8 @@ def measure_raymarch_arrays(rp, rd, stepsize, tmm, pp, pr, ps, tpl,
     kw = dict(fadescale=fadescale, fadeexp=fadeexp, tile=tile, max_hit=max_hit,
               rows=rows, two_stage_cull=two_stage,
               cull_max_groups=cull_max_groups, cull_group_size=cull_group_size,
-              prim_mask=prim_mask, candidates=candidates, bwd_stop=bwd_stop)
+              prim_mask=prim_mask, candidates=candidates, bwd_stop=bwd_stop,
+              fwd_stop=fwd_stop)
 
     def fwd(pp, pr, ps, tpl):
         return mvp_raymarch_pallas(
@@ -116,18 +117,27 @@ def measure_raymarch_arrays(rp, rd, stepsize, tmm, pp, pr, ps, tpl,
 
     grad = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))
 
+    # Two timing hazards on the tunneled-TPU platform, both observed on the
+    # --scene path: (1) chained same-input dispatches can be elided, so
+    # every call is blocked; (2) even blocked, a repeat execution of the
+    # SAME executable on the SAME input buffers returns instantly (a
+    # result-dedup in the tunnel client), so each iteration alternates
+    # between two equal-valued but distinct template buffers, forcing a
+    # real execution. The per-call host round-trip (~30 ms, bench.py's
+    # noop_roundtrip_s) is two orders below the march times measured here.
+    # one-ulp perturbation: numerically inert, but distinct under any
+    # buffer-identity OR content-addressed execution dedup
+    tpl2 = tpl * (1.0 + 2.0**-23)
     out = jax.block_until_ready(fwd(pp, pr, ps, tpl))
     t0 = time.time()
-    for _ in range(steps):
-        out = fwd(pp, pr, ps, tpl)
-    jax.block_until_ready(out)
+    for i in range(steps):
+        out = jax.block_until_ready(fwd(pp, pr, ps, tpl if i % 2 else tpl2))
     t_fwd = (time.time() - t0) / steps
 
     g = jax.block_until_ready(grad(pp, pr, ps, tpl))
     t0 = time.time()
-    for _ in range(steps):
-        g = grad(pp, pr, ps, tpl)
-    jax.block_until_ready(g)
+    for i in range(steps):
+        g = jax.block_until_ready(grad(pp, pr, ps, tpl if i % 2 else tpl2))
     t_tot = (time.time() - t0) / steps
     t_bwd = t_tot - t_fwd
 
@@ -236,6 +246,9 @@ def main():
     ap.add_argument("--mask-frac", type=float, default=0.0,
                     help="fraction of primitives marked dead via prim_mask "
                     "(physical alpha-mask culling path)")
+    ap.add_argument("--fwd-stop", type=int, default=2, choices=[1, 2],
+                    help="truncate the forward kernel after the march "
+                    "(timing instrumentation; output is wrong below 2)")
     args = ap.parse_args()
     h, w = map(int, args.hw.split("x"))
 
@@ -258,6 +271,7 @@ def main():
             fadescale=float(s.get("fadescale", 8.0)),
             fadeexp=float(s.get("fadeexp", 8.0)),
             candidates=args.candidates, bwd_stop=args.bwd_stop,
+            fwd_stop=args.fwd_stop,
         )
         rep["scene"] = args.scene
     else:
