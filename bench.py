@@ -44,10 +44,14 @@ def main() -> None:
     steps = int(os.environ.get("AVA256_BENCH_STEPS", 5))
     batch = int(os.environ.get("AVA256_BENCH_BATCH", 4))
     nprims = int(os.environ.get("AVA256_BENCH_NPRIMS", 16384))
+    # primsize 2 pairs with nprims=262144 (the reference's large-prim-count
+    # branch: 512^2 grid x 2 = the same 1024^2 slab; assembler.py:211-214)
+    primsize = int(os.environ.get("AVA256_BENCH_PRIMSIZE", 8))
     h, w = map(int, os.environ.get("AVA256_BENCH_HW", "512x334").split("x"))
 
     model, mb, dataset = _build(
         texsize=1024, nprims=nprims, height=h, width=w, batch=batch,
+        primsize=primsize,
         raymarch_options={"tile": 16, "max_hit": 64, "max_samples": 96,
                           "chunk_tiles": 128},
     )
@@ -217,7 +221,9 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "train_steps_per_sec_per_chip_b4_512x334",
+                "metric": "train_steps_per_sec_per_chip_b4_512x334"
+                if nprims == 16384
+                else f"train_steps_per_sec_per_chip_b{batch}_{h}x{w}_K{nprims}",
                 "value": round(steps_per_sec_per_chip, 4),
                 "unit": "steps/s/chip",
                 "vs_baseline": round(
