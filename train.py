@@ -319,15 +319,24 @@ def main():
 
             loss = float(loss)
             iter_end = time.time()
+            # effective LR from the (deterministic) StepLR schedule — makes
+            # the gamma bump at lr_scheduler_iter auditable in the log
+            cur_lr = float(cfg.train.init_learning_rate) * (
+                float(cfg.train.gamma)
+                if iternum >= int(cfg.train.lr_scheduler_iter)
+                else 1.0
+            )
             logger.info(
-                "Iteration %d loss = %.4f, %s time: %.3f s",
+                "Iteration %d loss = %.4f, %s lr = %.2e, time: %.3f s",
                 iternum,
                 loss,
                 ", ".join(f"{k} = {float(v):.4f}" for k, v in terms.items()),
+                cur_lr,
                 iter_end - iter_start,
             )
             if tb is not None and iternum % cfg.progress.tensorboard.log_freq == 0:
                 tb.add_scalar("Total Loss", loss, iternum)
+                tb.add_scalar("lr", cur_lr, iternum)
                 for k, v in terms.items():
                     tb.add_scalar(f"loss/{k}", float(v), iternum)
 
