@@ -125,19 +125,23 @@ def measure_raymarch_arrays(rp, rd, stepsize, tmm, pp, pr, ps, tpl,
     # between two equal-valued but distinct template buffers, forcing a
     # real execution. The per-call host round-trip (~30 ms, bench.py's
     # noop_roundtrip_s) is two orders below the march times measured here.
-    # one-ulp perturbation: numerically inert, but distinct under any
-    # buffer-identity OR content-addressed execution dedup
-    tpl2 = tpl * (1.0 + 2.0**-23)
+    # one-ulp perturbations, UNIQUE per timed call: numerically inert, but
+    # distinct under any buffer-identity or content-addressed execution
+    # dedup (a 2-cycle alternation still collided with the tunnel's cache)
+    variants = [
+        jax.block_until_ready(tpl * (1.0 + (i + 1) * 2.0**-23))
+        for i in range(steps)
+    ]
     out = jax.block_until_ready(fwd(pp, pr, ps, tpl))
     t0 = time.time()
     for i in range(steps):
-        out = jax.block_until_ready(fwd(pp, pr, ps, tpl if i % 2 else tpl2))
+        out = jax.block_until_ready(fwd(pp, pr, ps, variants[i]))
     t_fwd = (time.time() - t0) / steps
 
     g = jax.block_until_ready(grad(pp, pr, ps, tpl))
     t0 = time.time()
     for i in range(steps):
-        g = jax.block_until_ready(grad(pp, pr, ps, tpl if i % 2 else tpl2))
+        g = jax.block_until_ready(grad(pp, pr, ps, variants[i]))
     t_tot = (time.time() - t0) / steps
     t_bwd = t_tot - t_fwd
 
