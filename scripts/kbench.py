@@ -132,16 +132,28 @@ def measure_raymarch_arrays(rp, rd, stepsize, tmm, pp, pr, ps, tpl,
         jax.block_until_ready(tpl * (1.0 + (i + 1) * 2.0**-23))
         for i in range(steps)
     ]
-    out = jax.block_until_ready(fwd(pp, pr, ps, tpl))
-    t0 = time.time()
-    for i in range(steps):
-        out = jax.block_until_ready(fwd(pp, pr, ps, variants[i]))
-    t_fwd = (time.time() - t0) / steps
+    # sync by VALUE FETCH, not block_until_ready: on the axon tunnel,
+    # block_until_ready on some executables' outputs returns without a
+    # real device sync (observed: 3 marches "completing" in 0.1 ms while
+    # the grad loop measured real seconds); fetching bytes cannot lie.
+    # The fetch costs one ~30 ms round trip per call (noop_roundtrip_s),
+    # two orders below the march times measured here.
+    def sync(x):
+        return float(np.asarray(jax.device_get(x[(0,) * (x.ndim - 1)][0])))
 
-    g = jax.block_until_ready(grad(pp, pr, ps, tpl))
+    out = fwd(pp, pr, ps, tpl)
+    sync(out)
     t0 = time.time()
     for i in range(steps):
-        g = jax.block_until_ready(grad(pp, pr, ps, variants[i]))
+        sync(fwd(pp, pr, ps, variants[i]))
+    t_fwd = (time.time() - t0) / steps
+    out = jax.block_until_ready(out)
+
+    g = grad(pp, pr, ps, tpl)
+    sync(g[0])
+    t0 = time.time()
+    for i in range(steps):
+        sync(grad(pp, pr, ps, variants[i])[0])
     t_tot = (time.time() - t0) / steps
     t_bwd = t_tot - t_fwd
 
