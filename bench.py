@@ -49,11 +49,13 @@ def main() -> None:
     primsize = int(os.environ.get("AVA256_BENCH_PRIMSIZE", 8))
     h, w = map(int, os.environ.get("AVA256_BENCH_HW", "512x334").split("x"))
 
+    # rows=8: 8 step rows per kernel loop trip — measured 19% faster fwd /
+    # 12% faster bwd than rows=4 on this scene (docs/roofline_r5.md)
     model, mb, dataset = _build(
         texsize=1024, nprims=nprims, height=h, width=w, batch=batch,
         primsize=primsize,
         raymarch_options={"tile": 16, "max_hit": 64, "max_samples": 96,
-                          "chunk_tiles": 128},
+                          "chunk_tiles": 128, "rows": 8},
     )
 
     from ava256_tpu.train.init import init_model
@@ -206,6 +208,7 @@ def main() -> None:
             warp=mi.get("warp"), steps=max(steps - 2, 2),
             tile=int(rm_opts.get("tile", 16)),
             max_hit=int(rm_opts.get("max_hit", 64)),
+            rows=int(rm_opts.get("rows", 4)),
             fadescale=model.raymarcher.fadescale,
             fadeexp=model.raymarcher.fadeexp,
         )
