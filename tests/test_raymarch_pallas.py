@@ -55,9 +55,11 @@ def test_pallas_forward_matches_oracle():
     assert abs(a - b) / max(abs(a), 1e-6) < 1e-4, (a, b)
 
 
-def test_pallas_gradients_match_oracle():
+@pytest.mark.parametrize("rows", [4, 8])
+def test_pallas_gradients_match_oracle(rows):
+    # rows=8 is the bench/production row-batch width (docs/roofline_r5.md)
     s = make_scene(N=1, H=17, W=17, k3=2, M=8)
-    prims, loss_ref, loss_pal = _run_pair(s, tile=8, max_hit=8, nbuf=64)
+    prims, loss_ref, loss_pal = _run_pair(s, tile=8, max_hit=8, nbuf=64, rows=rows)
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(*prims)
     g_pal = jax.grad(loss_pal, argnums=(0, 1, 2, 3))(*prims)
     for name, a, b in zip(("primpos", "primrot", "primscale", "template"), g_ref, g_pal):
